@@ -1,0 +1,181 @@
+"""Multi-head attention with a decoupled image-prompt (IP) branch.
+
+TPU-first redesign of the reference's attention-processor layer
+(reference: ip_adapter/attention_processor.py). Differences by design:
+
+* The reference concatenates 4 image tokens onto the text tokens and has
+  every processor re-split them at call time (attention_processor.py:402-406).
+  Here text context and IP context are *separate tensors* end-to-end, and the
+  per-layer variant (self / cross / cross+ip) is a static config on the UNet,
+  not a runtime monkey-patch (reference ip_adapter.py:99-133).
+* Softmax runs in fp32 regardless of compute dtype (TPU VPU is fast enough
+  that this costs ~nothing and matches torch SDPA's internal upcast).
+* ``backend="pallas"`` routes the big self-attention through the fused
+  Pallas flash kernel; the decoupled branch fuses both KV sources in one
+  kernel (kernels/ip_attention.py).
+
+Shapes: sequences are (B, S, D_model); heads are folded/unfolded locally so
+XLA sees large fused matmuls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.nn import layers
+
+# Global default backend; pipelines override per-call.
+_DEFAULT_BACKEND = "xla"
+
+
+def set_default_backend(name: str):
+    global _DEFAULT_BACKEND
+    assert name in ("xla", "pallas")
+    _DEFAULT_BACKEND = name
+
+
+def default_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+# ---------------------------------------------------------------------------
+# Core scaled-dot-product attention
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(x, heads):
+    b, s, d = x.shape
+    return x.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def sdpa(q, k, v, *, scale=None, mask=None, backend=None):
+    """softmax(q k^T * scale) v with fp32 softmax.
+
+    q: (B, H, Sq, D); k, v: (B, H, Sk, D); mask: broadcastable to
+    (B, H, Sq, Sk), additive.
+    """
+    backend = backend or _DEFAULT_BACKEND
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    if backend == "pallas" and mask is None:
+        from imagharmony_tpu.kernels import flash_attention
+
+        out = flash_attention.flash_attention(q, k, v, scale=scale)
+        if out is not None:
+            return out
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def attention_probs(q, k, *, scale=None, mask=None):
+    """Explicit attention probabilities (observability path, small K only)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# UNet/Transformer attention layer (optionally with decoupled IP branch)
+# ---------------------------------------------------------------------------
+
+
+def attention_init(
+    key,
+    query_dim,
+    *,
+    heads,
+    head_dim=None,
+    context_dim=None,
+    with_ip=False,
+    qkv_bias=False,
+    out_bias=True,
+    dtype=jnp.float32,
+):
+    """Init the attention layer used by SDXL transformer blocks.
+
+    with_ip adds the decoupled image-prompt K/V projections — the trainable
+    surface of the IP-Adapter (reference attention_processor.py:361-362).
+    Note the reference instantiates these on *every* cross-attn layer but
+    only uses them on the target block (skip=True elsewhere); we mirror the
+    param layout so checkpoints round-trip, while the apply path is static.
+    """
+    inner = heads * (head_dim or query_dim // heads)
+    ctx = context_dim or query_dim
+    keys = jax.random.split(key, 6)
+    params = {
+        "to_q": layers.linear_init(keys[0], query_dim, inner, bias=qkv_bias, dtype=dtype),
+        "to_k": layers.linear_init(keys[1], ctx, inner, bias=qkv_bias, dtype=dtype),
+        "to_v": layers.linear_init(keys[2], ctx, inner, bias=qkv_bias, dtype=dtype),
+        "to_out": layers.linear_init(keys[3], inner, query_dim, bias=out_bias, dtype=dtype),
+    }
+    if with_ip:
+        params["to_k_ip"] = layers.linear_init(keys[4], ctx, inner, bias=False, dtype=dtype)
+        params["to_v_ip"] = layers.linear_init(keys[5], ctx, inner, bias=False, dtype=dtype)
+    return params
+
+
+def attention(
+    params,
+    x,
+    *,
+    heads,
+    context=None,
+    ip_context=None,
+    ip_scale=1.0,
+    mask=None,
+    backend=None,
+    policy: dtypes.Policy = dtypes.DEFAULT,
+    return_ip_probs=False,
+):
+    """Apply attention. context=None → self-attention.
+
+    ip_context: (B, S_ip, ctx_dim) image-prompt tokens for the decoupled
+    branch; requires ``to_k_ip``/``to_v_ip`` in params. Output is
+    text_attn + ip_scale * ip_attn (reference attention_processor.py:450).
+
+    return_ip_probs additionally returns the IP-branch attention
+    probabilities (B, H, Sq, S_ip) for attention-map observability
+    (reference ip_adapter/utils.py:6-79).
+    """
+    ctx = x if context is None else context
+    q = layers.linear(params["to_q"], x, policy=policy)
+    k = layers.linear(params["to_k"], ctx, policy=policy)
+    v = layers.linear(params["to_v"], ctx, policy=policy)
+
+    qh = _split_heads(q, heads)
+    kh = _split_heads(k, heads)
+    vh = _split_heads(v, heads)
+    out = sdpa(qh, kh, vh, mask=mask, backend=backend)
+
+    ip_probs = None
+    if ip_context is not None:
+        k_ip = _split_heads(layers.linear(params["to_k_ip"], ip_context, policy=policy), heads)
+        v_ip = _split_heads(layers.linear(params["to_v_ip"], ip_context, policy=policy), heads)
+        # S_ip is tiny (4/16 tokens): plain einsum attention is already
+        # bandwidth-optimal; the pallas backend fuses it with the text branch.
+        ip_out = sdpa(qh, k_ip, v_ip, backend="xla")
+        out = out + ip_scale * ip_out
+        if return_ip_probs:
+            ip_probs = attention_probs(qh, k_ip)
+
+    y = layers.linear(params["to_out"], _merge_heads(out), policy=policy)
+    if return_ip_probs:
+        return y, ip_probs
+    return y

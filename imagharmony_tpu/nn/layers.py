@@ -1,0 +1,224 @@
+"""Functional NN primitives over explicit param pytrees.
+
+Every layer is a pair of functions:
+
+    <layer>_init(key, ...) -> params   (nested dict of jnp arrays)
+    <layer>(params, x, ...) -> y       (pure; jit/vmap/shard_map friendly)
+
+Param dict key names are chosen to match the HuggingFace checkpoint trees
+they ingest (``weight`` / ``bias``), which makes io/checkpoints.py a pure
+tree re-keying with no per-layer special cases.
+
+Layout conventions (TPU-first):
+  * images are NHWC; conv kernels are HWIO (XLA:TPU's preferred layout —
+    the reference's NCHW torch layout would force relayouts around every
+    matmul/attention reshape, cf. reference attention_processor.py:380-381).
+  * linear weights are stored as (in, out) so application is ``x @ w`` with
+    no transpose. Torch checkpoints store (out, in) and are transposed once
+    at load time.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from imagharmony_tpu import dtypes
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, in_dim, out_dim, *, bias=True, dtype=jnp.float32, scale=None):
+    """Kaiming-uniform init matching torch.nn.Linear defaults, so randomly
+    initialised modules are statistically comparable with the reference."""
+    wkey, bkey = jax.random.split(key)
+    bound = scale if scale is not None else 1.0 / math.sqrt(in_dim)
+    params = {
+        "weight": jax.random.uniform(
+            wkey, (in_dim, out_dim), dtype, minval=-bound, maxval=bound
+        )
+    }
+    if bias:
+        params["bias"] = jax.random.uniform(
+            bkey, (out_dim,), dtype, minval=-bound, maxval=bound
+        )
+    return params
+
+
+def linear(params, x, *, policy: dtypes.Policy = dtypes.DEFAULT):
+    w = policy.cast(params["weight"])
+    y = jnp.dot(policy.cast(x), w)
+    if "bias" in params:
+        y = y + policy.cast(params["bias"])
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm
+# ---------------------------------------------------------------------------
+
+
+def layer_norm_init(dim, *, dtype=jnp.float32):
+    return {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x, *, eps=1e-5, policy: dtypes.Policy = dtypes.DEFAULT):
+    xf = x.astype(policy.norm_dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["weight"].astype(policy.norm_dtype)
+    y = y + params["bias"].astype(policy.norm_dtype)
+    return y.astype(policy.compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# GroupNorm (channels-last)
+# ---------------------------------------------------------------------------
+
+
+def group_norm_init(channels, *, dtype=jnp.float32):
+    return {"weight": jnp.ones((channels,), dtype), "bias": jnp.zeros((channels,), dtype)}
+
+
+def group_norm(params, x, *, num_groups=32, eps=1e-5, policy: dtypes.Policy = dtypes.DEFAULT):
+    """GroupNorm over an NHWC (or N...C) tensor."""
+    c = x.shape[-1]
+    g = num_groups
+    xf = x.astype(policy.norm_dtype)
+    orig_shape = xf.shape
+    grouped = xf.reshape(orig_shape[0], -1, g, c // g)
+    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
+    var = jnp.var(grouped, axis=(1, 3), keepdims=True)
+    y = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(orig_shape)
+    y = y * params["weight"].astype(policy.norm_dtype)
+    y = y + params["bias"].astype(policy.norm_dtype)
+    return y.astype(policy.compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conv2D (NHWC / HWIO)
+# ---------------------------------------------------------------------------
+
+
+def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, dtype=jnp.float32):
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    wkey, bkey = jax.random.split(key)
+    fan_in = in_ch * kernel_size[0] * kernel_size[1]
+    bound = 1.0 / math.sqrt(fan_in)
+    params = {
+        "weight": jax.random.uniform(
+            wkey, (*kernel_size, in_ch, out_ch), dtype, minval=-bound, maxval=bound
+        )
+    }
+    if bias:
+        params["bias"] = jax.random.uniform(
+            bkey, (out_ch,), dtype, minval=-bound, maxval=bound
+        )
+    return params
+
+
+def conv2d(params, x, *, stride=1, padding=1, policy: dtypes.Policy = dtypes.DEFAULT):
+    """2D convolution, NHWC input, HWIO kernel."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    w = policy.cast(params["weight"])
+    y = jax.lax.conv_general_dilated(
+        policy.cast(x),
+        w,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + policy.cast(params["bias"])
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+
+def embedding_init(key, num_embeddings, dim, *, dtype=jnp.float32):
+    return {"weight": jax.random.normal(key, (num_embeddings, dim), dtype)}
+
+
+def embedding(params, ids, *, policy: dtypes.Policy = dtypes.DEFAULT):
+    return policy.cast(jnp.take(params["weight"], ids, axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x):
+    # torch.nn.GELU default = exact erf formulation; matched for parity.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    # CLIP-L text tower activation (x * sigmoid(1.702 x)).
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def geglu(params, x, *, policy: dtypes.Policy = dtypes.DEFAULT):
+    """GEGLU used by SDXL transformer FFNs: proj to 2*d then x * gelu(gate)."""
+    h = linear(params, x, policy=policy)
+    h, gate = jnp.split(h, 2, axis=-1)
+    return h * gelu(gate)
+
+
+ACTIVATIONS = {
+    "silu": silu,
+    "gelu": gelu,
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+}
+
+
+# ---------------------------------------------------------------------------
+# Timestep (sinusoidal) embedding — diffusers get_timestep_embedding semantics
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    timesteps,
+    dim,
+    *,
+    max_period=10000.0,
+    flip_sin_to_cos=True,
+    downscale_freq_shift=0.0,
+    scale=1.0,
+    dtype=jnp.float32,
+):
+    """Sinusoidal embedding of scalar timesteps -> (..., dim).
+
+    Defaults match SDXL's UNet time/addition embeddings
+    (flip_sin_to_cos=True, freq_shift=0).
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    args = scale * args
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return emb.astype(dtype)

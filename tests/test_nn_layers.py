@@ -1,0 +1,139 @@
+"""Unit tests for nn primitives against torch-CPU oracles.
+
+torch here is a test oracle only — the framework itself is torch-free.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.nn import attention as attn_lib
+from imagharmony_tpu.nn import layers
+
+FP32 = dtypes.FP32
+RTOL = 2e-5
+ATOL = 2e-5
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def test_linear_matches_torch():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(16, 24)).astype(np.float32)
+    b = rng.normal(size=(24,)).astype(np.float32)
+    x = rng.normal(size=(3, 16)).astype(np.float32)
+    ours = layers.linear({"weight": jnp.array(w), "bias": jnp.array(b)}, jnp.array(x), policy=FP32)
+    theirs = tF.linear(torch.tensor(x), torch.tensor(w.T), torch.tensor(b)).numpy()
+    np.testing.assert_allclose(_np(ours), theirs, rtol=RTOL, atol=ATOL)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 5, 32)).astype(np.float32)
+    g = rng.normal(size=(32,)).astype(np.float32)
+    b = rng.normal(size=(32,)).astype(np.float32)
+    ours = layers.layer_norm({"weight": jnp.array(g), "bias": jnp.array(b)}, jnp.array(x), policy=FP32)
+    theirs = tF.layer_norm(torch.tensor(x), (32,), torch.tensor(g), torch.tensor(b)).numpy()
+    np.testing.assert_allclose(_np(ours), theirs, rtol=RTOL, atol=ATOL)
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 6, 6, 32)).astype(np.float32)
+    g = rng.normal(size=(32,)).astype(np.float32)
+    b = rng.normal(size=(32,)).astype(np.float32)
+    ours = layers.group_norm(
+        {"weight": jnp.array(g), "bias": jnp.array(b)}, jnp.array(x), num_groups=8, policy=FP32
+    )
+    # torch GroupNorm is NCHW
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    theirs = tF.group_norm(xt, 8, torch.tensor(g), torch.tensor(b)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,padding", [(1, 1), (2, 1), (1, 0)])
+def test_conv2d_matches_torch(stride, padding):
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(3, 3, 8, 12), scale=0.1).astype(np.float32)  # HWIO
+    b = rng.normal(size=(12,)).astype(np.float32)
+    x = rng.normal(size=(2, 9, 9, 8)).astype(np.float32)
+    ours = conv = layers.conv2d(
+        {"weight": jnp.array(w), "bias": jnp.array(b)},
+        jnp.array(x),
+        stride=stride,
+        padding=padding,
+        policy=FP32,
+    )
+    wt = torch.tensor(w).permute(3, 2, 0, 1)  # OIHW
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    theirs = tF.conv2d(xt, wt, torch.tensor(b), stride=stride, padding=padding)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_sdpa_matches_torch():
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=(2, 4, 10, 16)).astype(np.float32)
+    k = rng.normal(size=(2, 4, 7, 16)).astype(np.float32)
+    v = rng.normal(size=(2, 4, 7, 16)).astype(np.float32)
+    ours = attn_lib.sdpa(jnp.array(q), jnp.array(k), jnp.array(v), backend="xla")
+    theirs = tF.scaled_dot_product_attention(
+        torch.tensor(q), torch.tensor(k), torch.tensor(v)
+    ).numpy()
+    np.testing.assert_allclose(_np(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_timestep_embedding_matches_diffusers_semantics():
+    # Golden formula check: half dims cos then sin (flip_sin_to_cos=True).
+    ts = jnp.array([0.0, 1.0, 999.0])
+    emb = layers.timestep_embedding(ts, 8)
+    assert emb.shape == (3, 8)
+    half = 4
+    freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+    args = np.asarray(ts)[:, None] * freqs[None, :]
+    expected = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+    np.testing.assert_allclose(_np(emb), expected, rtol=1e-3, atol=1e-4)
+
+
+def test_decoupled_ip_attention_math():
+    """out == text_attn + scale * ip_attn (reference attention_processor.py:450)."""
+    key = jax.random.PRNGKey(0)
+    params = attn_lib.attention_init(key, 32, heads=4, context_dim=48, with_ip=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 48))
+    ipc = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 48))
+
+    full = attn_lib.attention(
+        params, x, heads=4, context=ctx, ip_context=ipc, ip_scale=0.7, policy=FP32
+    )
+    text_only = attn_lib.attention(params, x, heads=4, context=ctx, policy=FP32)
+
+    # Manually compute the ip branch contribution.
+    q = layers.linear(params["to_q"], x, policy=FP32).reshape(2, 6, 4, 8).transpose(0, 2, 1, 3)
+    k_ip = layers.linear(params["to_k_ip"], ipc, policy=FP32).reshape(2, 4, 4, 8).transpose(0, 2, 1, 3)
+    v_ip = layers.linear(params["to_v_ip"], ipc, policy=FP32).reshape(2, 4, 4, 8).transpose(0, 2, 1, 3)
+    ip_out = attn_lib.sdpa(q, k_ip, v_ip, backend="xla")
+    ip_out = ip_out.transpose(0, 2, 1, 3).reshape(2, 6, 32)
+    # to_out is affine, so full - text_only = scale * (ip_out @ W_out).
+    pre_text = full - text_only
+    lin_ip = 0.7 * (ip_out @ params["to_out"]["weight"])
+    np.testing.assert_allclose(_np(pre_text), _np(lin_ip), rtol=1e-4, atol=1e-4)
+
+
+def test_ip_probs_shape():
+    key = jax.random.PRNGKey(0)
+    params = attn_lib.attention_init(key, 32, heads=4, context_dim=48, with_ip=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 48))
+    ipc = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 48))
+    _, probs = attn_lib.attention(
+        params, x, heads=4, context=ctx, ip_context=ipc, return_ip_probs=True, policy=FP32
+    )
+    assert probs.shape == (2, 4, 6, 4)
+    np.testing.assert_allclose(_np(probs.sum(-1)), 1.0, rtol=1e-5, atol=1e-5)
