@@ -1,1 +1,179 @@
-# placeholder, filled in next milestone
+"""CLIP text encoders (both SDXL towers), TPU-native.
+
+Covers the reference's frozen text stack: CLIPTextModel (ViT-L tower,
+quick_gelu, 768-d) and CLIPTextModelWithProjection (OpenCLIP bigG tower,
+gelu, 1280-d with a text projection) — reference train.py:507-509,660-673.
+
+SDXL consumes the *penultimate* hidden state of each tower concatenated to
+2048-d, plus the projected pooled embedding of tower 2; ``apply`` returns
+exactly those tensors so pipelines never re-slice hidden-state lists.
+
+Param keys mirror the HF checkpoint tree (text_model.encoder.layers.N.*).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.nn import attention as attn_lib
+from imagharmony_tpu.nn import layers
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 77
+    hidden_act: str = "quick_gelu"
+    projection_dim: Optional[int] = None  # set for the WithProjection tower
+    eos_token_id: int = 49407
+
+
+# SDXL tower configs
+def clip_l_config() -> CLIPTextConfig:
+    return CLIPTextConfig()
+
+
+def clip_bigg_config() -> CLIPTextConfig:
+    return CLIPTextConfig(
+        hidden_size=1280,
+        num_layers=32,
+        num_heads=20,
+        intermediate_size=5120,
+        hidden_act="gelu",
+        projection_dim=1280,
+    )
+
+
+def tiny_config(**overrides) -> CLIPTextConfig:
+    base = dict(
+        vocab_size=1000,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=16,
+        eos_token_id=999,
+    )
+    base.update(overrides)
+    return CLIPTextConfig(**base)
+
+
+def _encoder_layer_init(key, d, inter, *, dtype):
+    k = jax.random.split(key, 6)
+    return {
+        "layer_norm1": layers.layer_norm_init(d, dtype=dtype),
+        "self_attn": {
+            "q_proj": layers.linear_init(k[0], d, d, dtype=dtype),
+            "k_proj": layers.linear_init(k[1], d, d, dtype=dtype),
+            "v_proj": layers.linear_init(k[2], d, d, dtype=dtype),
+            "out_proj": layers.linear_init(k[3], d, d, dtype=dtype),
+        },
+        "layer_norm2": layers.layer_norm_init(d, dtype=dtype),
+        "mlp": {
+            "fc1": layers.linear_init(k[4], d, inter, dtype=dtype),
+            "fc2": layers.linear_init(k[5], inter, d, dtype=dtype),
+        },
+    }
+
+
+def init(key, cfg: CLIPTextConfig, *, dtype=jnp.float32):
+    k = jax.random.split(key, cfg.num_layers + 4)
+    params = {
+        "embeddings": {
+            "token_embedding": layers.embedding_init(k[0], cfg.vocab_size, cfg.hidden_size, dtype=dtype),
+            "position_embedding": layers.embedding_init(
+                k[1], cfg.max_position_embeddings, cfg.hidden_size, dtype=dtype
+            ),
+        },
+        "encoder_layers": [
+            _encoder_layer_init(k[3 + i], cfg.hidden_size, cfg.intermediate_size, dtype=dtype)
+            for i in range(cfg.num_layers)
+        ],
+        "final_layer_norm": layers.layer_norm_init(cfg.hidden_size, dtype=dtype),
+    }
+    if cfg.projection_dim:
+        params["text_projection"] = layers.linear_init(
+            k[2], cfg.hidden_size, cfg.projection_dim, bias=False, dtype=dtype
+        )
+    return params
+
+
+def _encoder_layer(p, x, *, heads, act, mask, policy):
+    h = layers.layer_norm(p["layer_norm1"], x, policy=policy)
+    a = p["self_attn"]
+    q = layers.linear(a["q_proj"], h, policy=policy)
+    kk = layers.linear(a["k_proj"], h, policy=policy)
+    v = layers.linear(a["v_proj"], h, policy=policy)
+    b, s, d = q.shape
+    qh = q.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
+    kh = kk.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
+    o = attn_lib.sdpa(qh, kh, vh, mask=mask, backend="xla")
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+    x = x + layers.linear(a["out_proj"], o, policy=policy)
+
+    h = layers.layer_norm(p["layer_norm2"], x, policy=policy)
+    h = layers.linear(p["mlp"]["fc1"], h, policy=policy)
+    h = layers.ACTIVATIONS[act](h)
+    x = x + layers.linear(p["mlp"]["fc2"], h, policy=policy)
+    return x
+
+
+def apply(params, cfg: CLIPTextConfig, input_ids, *, policy: dtypes.Policy = dtypes.DEFAULT):
+    """input_ids (B, S) -> dict with:
+
+    penultimate: (B, S, D)  hidden state entering the last layer — the
+                 ``hidden_states[-2]`` SDXL conditions on (reference
+                 train.py:662,665,670,672)
+    last:        (B, S, D)  final_layer_norm'd last hidden state
+    pooled:      (B, D)     hidden at the EOS position (LN'd)
+    projected:   (B, P)     text_projection(pooled), present iff the tower
+                 has a projection — the ``pooled_text_embeds`` SDXL uses
+                 (reference train.py:664)
+    """
+    b, s = input_ids.shape
+    tok = layers.embedding(params["embeddings"]["token_embedding"], input_ids, policy=policy)
+    pos = layers.embedding(
+        params["embeddings"]["position_embedding"], jnp.arange(s), policy=policy
+    )
+    x = tok + pos[None]
+
+    # causal mask (CLIP text towers are causal)
+    causal = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)[None, None]
+
+    penultimate = None
+    for i, layer in enumerate(params["encoder_layers"]):
+        if i == cfg.num_layers - 1:
+            penultimate = x
+        x = _encoder_layer(
+            layer, x, heads=cfg.num_heads, act=cfg.hidden_act, mask=causal, policy=policy
+        )
+
+    last = layers.layer_norm(params["final_layer_norm"], x, policy=policy)
+
+    # EOS pooling: first position holding the EOS token id.
+    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    pooled = jnp.take_along_axis(last, eos_pos[:, None, None], axis=1)[:, 0]
+
+    out = {"penultimate": penultimate, "last": last, "pooled": pooled}
+    if "text_projection" in params:
+        out["projected"] = layers.linear(params["text_projection"], pooled, policy=policy)
+    return out
+
+
+def encode_for_sdxl(params_l, cfg_l, params_g, cfg_g, ids_l, ids_g, *, policy=dtypes.DEFAULT):
+    """The SDXL dual-tower conditioning: concat penultimates (768+1280→2048)
+    + projected pooled from tower 2 (reference train.py:660-666)."""
+    out_l = apply(params_l, cfg_l, ids_l, policy=policy)
+    out_g = apply(params_g, cfg_g, ids_g, policy=policy)
+    context = jnp.concatenate([out_l["penultimate"], out_g["penultimate"]], axis=-1)
+    return context, out_g["projected"]
