@@ -1,0 +1,167 @@
+"""Command-line entry points.
+
+``imagharmony edit`` is the test.py-equivalent inference script
+(reference test.py:1-115); ``imagharmony demo`` runs a few-step edit on
+synthetic weights end-to-end (no checkpoint needed — smoke/bench surface).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_edit_args(p):
+    p.add_argument("--input", help="reference image path")
+    p.add_argument("--prompt", default="best quality, high quality")
+    p.add_argument("--extra-text", default=None, help="count+class caption, e.g. 'eight sheep'")
+    p.add_argument("--negative-prompt", default=None)
+    p.add_argument("--output", default="output.png")
+    p.add_argument("--model-dir", default=None, help="SDXL checkpoint directory")
+    p.add_argument("--adapter-ckpt", default=None, help="ip_adapter.bin / .safetensors")
+    p.add_argument("--image-encoder-dir", default=None)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--guidance-scale", type=float, default=5.0)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-samples", type=int, default=1)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--scheduler", default="euler", choices=["euler", "ddim"])
+    p.add_argument("--tile-vae", action="store_true")
+    p.add_argument("--pns", type=int, default=0, help="preference-guided noise selection over K seeds")
+
+
+def cmd_edit(args):
+    from PIL import Image
+
+    from imagharmony_tpu.io import checkpoints
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+
+    pipe = checkpoints.load_pipeline(
+        model_dir=args.model_dir,
+        adapter_ckpt=args.adapter_ckpt,
+        image_encoder_dir=args.image_encoder_dir,
+    )
+    image = Image.open(args.input).resize((512, 512))
+    t0 = time.time()
+    kw = dict(
+        prompt=args.prompt,
+        negative_prompt=args.negative_prompt,
+        extra_text=args.extra_text,
+        scale=args.scale,
+        guidance_scale=args.guidance_scale,
+        num_inference_steps=args.steps,
+        seed=args.seed,
+        num_samples=args.num_samples,
+        height=args.height,
+        width=args.width,
+        scheduler=args.scheduler,
+        tile_vae=args.tile_vae,
+        output_type="pil",
+    )
+    if args.pns:
+        from imagharmony_tpu.pipelines import pns
+
+        images = [pns.generate_with_pns(pipe, image, num_seeds=args.pns, **kw)]
+    else:
+        images = pipe.generate(pil_image=image, **kw)
+    for i, im in enumerate(images):
+        path = args.output if len(images) == 1 else args.output.replace(".png", f"_{i}.png")
+        im.save(path)
+        print(f"saved {path}")
+    print(f"done in {time.time() - t0:.1f}s")
+
+
+def cmd_demo(args):
+    """Few-step edit on random tiny weights — exercises the full jitted
+    path (text → vision → HA → scan denoise → VAE) with no checkpoints."""
+    import numpy as np
+
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    rng = np.random.default_rng(args.seed)
+    ref = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    t0 = time.time()
+    out = pipe.generate(
+        pil_image=ref,
+        prompt=args.prompt,
+        extra_text=args.extra_text or "six dogs",
+        num_inference_steps=args.steps,
+        height=args.height,
+        width=args.width,
+        seed=args.seed,
+        scale=args.scale,
+        output_type="pil",
+    )
+    out[0].save(args.output)
+    print(
+        json.dumps(
+            {
+                "saved": args.output,
+                "seconds": round(time.time() - t0, 2),
+                "steps": args.steps,
+                "size": [args.height, args.width],
+            }
+        )
+    )
+
+
+def cmd_serve(args):
+    from imagharmony_tpu.pipelines import serving
+
+    serving.main(args)
+
+
+def cmd_convert(args):
+    from imagharmony_tpu.io import checkpoints
+
+    checkpoints.convert_training_checkpoints(args.log_dir)
+
+
+def cmd_train(args, extra):
+    from imagharmony_tpu.train import trainer
+
+    trainer.main(extra)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="imagharmony")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_edit = sub.add_parser("edit", help="QL-Edit inference (test.py equivalent)")
+    _add_edit_args(p_edit)
+
+    p_demo = sub.add_parser("demo", help="random-weight smoke edit")
+    _add_edit_args(p_demo)
+    p_demo.set_defaults(steps=4, height=32, width=32)
+
+    p_conv = sub.add_parser("convert", help="convert training ckpts to adapter format")
+    p_conv.add_argument("--log-dir", required=True)
+
+    p_serve = sub.add_parser("serve", help="batched editing service")
+    p_serve.add_argument("--port", type=int, default=7860)
+    p_serve.add_argument("--model-dir", default=None)
+    p_serve.add_argument("--adapter-ckpt", default=None)
+
+    sub.add_parser("train", help="adapter fine-tuning (args passed through)", add_help=False)
+
+    args, extra = parser.parse_known_args(argv)
+    if args.cmd == "edit":
+        cmd_edit(args)
+    elif args.cmd == "demo":
+        cmd_demo(args)
+    elif args.cmd == "convert":
+        cmd_convert(args)
+    elif args.cmd == "serve":
+        cmd_serve(args)
+    elif args.cmd == "train":
+        cmd_train(args, extra)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""The SDXL + adapters model bundle a pipeline operates on.
+
+One dataclass holding every sub-model config plus one params dict — the
+explicit-state equivalent of the reference's pile of module attributes
+(reference test.py:66-104 builds pipe/HA/IPAdapterXL by hand; here a single
+``Components`` travels through jitted functions as a pytree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from imagharmony_tpu.adapters import harmony, projections, resampler
+from imagharmony_tpu.models import clip_text, clip_vision, unet, vae
+
+
+@dataclasses.dataclass(frozen=True)
+class ComponentConfigs:
+    unet: unet.UNetConfig
+    vae: vae.VAEConfig
+    text_l: clip_text.CLIPTextConfig
+    text_g: clip_text.CLIPTextConfig
+    vision: clip_vision.CLIPVisionConfig
+    harmony: harmony.HarmonyConfig
+    # "image_proj" (IPAdapter/XL) or "resampler" (IPAdapterPlus/PlusXL)
+    proj_kind: str = "image_proj"
+    resampler: Optional[resampler.ResamplerConfig] = None
+    num_ip_tokens: int = 4
+
+
+def sdxl_configs(harmony_cfg: Optional[harmony.HarmonyConfig] = None) -> ComponentConfigs:
+    """Full-size SDXL-base + ViT-bigG image encoder + shipped HA dims."""
+    return ComponentConfigs(
+        unet=unet.UNetConfig(),
+        vae=vae.VAEConfig(),
+        text_l=clip_text.clip_l_config(),
+        text_g=clip_text.clip_bigg_config(),
+        vision=clip_vision.CLIPVisionConfig(),
+        harmony=harmony_cfg or harmony.HarmonyConfig(),
+    )
+
+
+def tiny_configs(vocab_size=1000, *, proj_kind="image_proj") -> ComponentConfigs:
+    """Topology-faithful miniature for tests/demos (compiles in seconds)."""
+    u = unet.tiny_config()
+    tl = clip_text.tiny_config(vocab_size=vocab_size, hidden_size=24, num_heads=4)
+    tg = clip_text.tiny_config(
+        vocab_size=vocab_size, hidden_size=40, num_heads=4, projection_dim=32
+    )
+    vis = clip_vision.tiny_config(projection_dim=32)
+    ha = harmony.tiny_config(
+        image_hidden_size=32, text_context_dim=tl.hidden_size + tg.hidden_size
+    )
+    rs = resampler.tiny_config(
+        embedding_dim=vis.hidden_size, output_dim=u.cross_attention_dim, num_queries=4
+    )
+    return ComponentConfigs(
+        unet=u, vae=vae.tiny_config(), text_l=tl, text_g=tg, vision=vis,
+        harmony=ha, proj_kind=proj_kind, resampler=rs,
+    )
+
+
+def init_params(key, cfgs: ComponentConfigs, *, dtype=jnp.float32) -> Dict[str, Any]:
+    k = jax.random.split(key, 8)
+    params = {
+        "unet": unet.init(k[0], cfgs.unet, dtype=dtype),
+        "vae": vae.init(k[1], cfgs.vae, dtype=dtype),
+        "text_encoder": clip_text.init(k[2], cfgs.text_l, dtype=dtype),
+        "text_encoder_2": clip_text.init(k[3], cfgs.text_g, dtype=dtype),
+        "image_encoder": clip_vision.init(k[4], cfgs.vision, dtype=dtype),
+        "harmony": harmony.init(k[5], cfgs.harmony, dtype=dtype),
+    }
+    if cfgs.proj_kind == "image_proj":
+        params["image_proj"] = projections.image_proj_init(
+            k[6],
+            clip_embed_dim=cfgs.vision.projection_dim,
+            cross_attention_dim=cfgs.unet.cross_attention_dim,
+            num_tokens=cfgs.num_ip_tokens,
+            dtype=dtype,
+        )
+    elif cfgs.proj_kind == "resampler":
+        params["image_proj"] = resampler.init(k[6], cfgs.resampler, dtype=dtype)
+    elif cfgs.proj_kind == "mlp_proj":
+        params["image_proj"] = projections.mlp_proj_init(
+            k[6],
+            clip_hidden_dim=cfgs.vision.hidden_size,
+            cross_attention_dim=cfgs.unet.cross_attention_dim,
+            dtype=dtype,
+        )
+    else:
+        raise ValueError(cfgs.proj_kind)
+    return params
+
+
+def project_image_embeds(params, cfgs: ComponentConfigs, vision_out, *, policy):
+    """CLIP vision output -> image prompt tokens, per proj_kind.
+
+    image_proj consumes the projected pooled embedding (reference
+    ip_adapter.py:164,175); resampler/mlp_proj consume penultimate patch
+    features (reference ip_adapter.py:369,411)."""
+    if cfgs.proj_kind == "image_proj":
+        return projections.image_proj(
+            params["image_proj"], vision_out["projected"],
+            num_tokens=cfgs.num_ip_tokens, policy=policy,
+        )
+    if cfgs.proj_kind == "resampler":
+        return resampler.apply(
+            params["image_proj"], cfgs.resampler, vision_out["penultimate"], policy=policy
+        )
+    return projections.mlp_proj(params["image_proj"], vision_out["penultimate"], policy=policy)

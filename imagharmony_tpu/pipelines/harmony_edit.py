@@ -1,0 +1,342 @@
+"""The QL-Edit pipeline: reference image + prompt + extra_text → edited image.
+
+TPU-native rebuild of the reference's main inference path
+(IPAdapterXL.generate → StableDiffusionXLCustomPipeline.__call__,
+reference ip_adapter/ip_adapter.py:257-340 + custom_pipelines.py:304-394).
+Design departures, all deliberate:
+
+* The entire generate body after host preprocessing is ONE jitted function:
+  text encoders → vision encoder → HA fusion → image proj → a ``lax.scan``
+  denoise loop with the CFG pair packed on the batch axis → VAE decode.
+  (The reference runs a Python for-loop launching per-step kernels,
+  custom_pipelines.py:325.)
+* The per-step IP-scale window (control_guidance_start/end,
+  custom_pipelines.py:319-329) is a precomputed (steps,) array consumed
+  inside the scan — no attention-processor mutation mid-loop.
+* CFG pairs: batch is [uncond | cond] (matching custom_pipelines.py:296
+  ordering) so one UNet call serves both branches.
+* extra_text is optional here; the reference requires it de facto
+  (undefined-variable path at ip_adapter.py:285-300 when None).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.adapters import harmony
+from imagharmony_tpu.models import clip_text, clip_vision, unet, vae
+from imagharmony_tpu.pipelines import components as comp
+from imagharmony_tpu.schedulers import diffusion as sched
+
+DEFAULT_NEGATIVE = "monochrome, lowres, bad anatomy, worst quality, low quality"
+DEFAULT_PROMPT = "best quality, high quality"
+
+
+@dataclasses.dataclass(frozen=True)
+class EditOptions:
+    """Static knobs of one edit call (hashable → part of the jit key)."""
+
+    height: int = 1024
+    width: int = 1024
+    num_inference_steps: int = 30
+    scheduler: str = "euler"
+    guidance_scale: float = 5.0
+    ip_scale: float = 1.0
+    control_guidance_start: float = 0.0
+    control_guidance_end: float = 1.0
+    use_harmony: bool = True
+    tile_vae: bool = False
+
+
+def ip_scale_schedule(opts: EditOptions) -> np.ndarray:
+    """Per-step IP scale: 0 outside the [start, end) window
+    (reference custom_pipelines.py:326-329)."""
+    n = opts.num_inference_steps
+    i = np.arange(n, dtype=np.float32)
+    on = (i / n >= opts.control_guidance_start) & ((i + 1) / n <= opts.control_guidance_end)
+    return np.where(on, opts.ip_scale, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Jitted core
+# ---------------------------------------------------------------------------
+
+
+def encode_texts(params, cfgs: comp.ComponentConfigs, ids_l, ids_g, *, policy):
+    """Dual-tower SDXL conditioning for a batch of token id rows."""
+    return clip_text.encode_for_sdxl(
+        params["text_encoder"], cfgs.text_l,
+        params["text_encoder_2"], cfgs.text_g,
+        ids_l, ids_g, policy=policy,
+    )
+
+
+def image_prompt_tokens(params, cfgs, pixel_values, extra_context, *, policy):
+    """CLIP vision → (HA fuse with extra_text) → prompt tokens; plus the
+    unconditional tokens from a zeroed embedding
+    (reference ip_adapter.py:158-177)."""
+    vision_out = clip_vision.apply(params["image_encoder"], cfgs.vision, pixel_values, policy=policy)
+    if cfgs.proj_kind == "image_proj":
+        embeds = vision_out["projected"]
+        if extra_context is not None:
+            embeds = harmony.fuse_image_embeds(
+                params["harmony"], cfgs.harmony, extra_context, embeds, policy=policy
+            )
+        cond = comp.project_image_embeds(
+            params, cfgs, {**vision_out, "projected": embeds}, policy=policy
+        )
+        uncond = comp.project_image_embeds(
+            params, cfgs, {**vision_out, "projected": jnp.zeros_like(embeds)}, policy=policy
+        )
+    else:
+        # Plus variants: tokens from penultimate patches; uncond from a
+        # black image's features (reference ip_adapter.py:371-374).
+        cond = comp.project_image_embeds(params, cfgs, vision_out, policy=policy)
+        zero_out = clip_vision.apply(
+            params["image_encoder"], cfgs.vision, jnp.zeros_like(pixel_values), policy=policy
+        )
+        uncond = comp.project_image_embeds(params, cfgs, zero_out, policy=policy)
+    return cond, uncond
+
+
+def denoise(
+    params_unet,
+    unet_cfg: unet.UNetConfig,
+    latents,
+    context,
+    pooled,
+    time_ids,
+    ip_tokens,
+    schedule: sched.Schedule,
+    ip_scales,
+    *,
+    guidance_scale,
+    policy,
+    backend=None,
+):
+    """lax.scan denoise loop. latents (B,h,w,4); context/pooled/time_ids/
+    ip_tokens are CFG-packed (2B, ...) [uncond | cond]."""
+    b = latents.shape[0]
+    xs = sched.scan_constants(schedule) + (jnp.asarray(ip_scales),)
+    kind = schedule.kind
+
+    def body(lat, x):
+        t, sigma, sigma_next, ip_s = x
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
+        eps = unet.apply(
+            params_unet,
+            unet_cfg,
+            lat_in,
+            jnp.broadcast_to(t, (2 * b,)),
+            context,
+            pooled_text_embeds=pooled,
+            time_ids=time_ids,
+            ip_tokens=ip_tokens,
+            ip_scale=ip_s,
+            policy=policy,
+            backend=backend,
+        )
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        lat = sched.step_c(kind, sigma, sigma_next, eps_g, lat)
+        return lat, ()
+
+    latents, _ = jax.lax.scan(body, latents, xs)
+    return latents
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfgs", "opts", "policy", "backend", "num_samples"),
+)
+def _edit_jit(
+    params,
+    cfgs: comp.ComponentConfigs,
+    opts: EditOptions,
+    ids,            # dict of token-id arrays, each (1, 77)
+    pixel_values,   # (1, H, W, 3) CLIP-preprocessed
+    noise,          # (num_samples, h, w, 4)
+    *,
+    num_samples: int,
+    policy: dtypes.Policy = dtypes.DEFAULT,
+    backend: Optional[str] = None,
+):
+    schedule = sched.make(opts.scheduler, opts.num_inference_steps)
+    ip_scales = ip_scale_schedule(opts)
+
+    # --- text conditioning: [neg | pos] rows in one encoder batch ---
+    ids_l = jnp.concatenate([ids["neg_l"], ids["pos_l"]], axis=0)
+    ids_g = jnp.concatenate([ids["neg_g"], ids["pos_g"]], axis=0)
+    context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy)
+    neg_ctx, pos_ctx = context[:1], context[1:2]
+    neg_pooled, pos_pooled = pooled[:1], pooled[1:2]
+
+    extra_ctx = None
+    if opts.use_harmony and "extra_l" in ids:
+        extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"], policy=policy)
+
+    # --- image prompt tokens ---
+    ip_cond, ip_uncond = image_prompt_tokens(params, cfgs, pixel_values, extra_ctx, policy=policy)
+
+    # --- CFG packing, repeated to num_samples ---
+    def rep(x):
+        return jnp.repeat(x, num_samples, axis=0)
+
+    context2 = jnp.concatenate([rep(neg_ctx), rep(pos_ctx)], axis=0)
+    pooled2 = jnp.concatenate([rep(neg_pooled), rep(pos_pooled)], axis=0)
+    ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
+
+    # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
+    tid = jnp.array(
+        [[opts.height, opts.width, 0, 0, opts.height, opts.width]], jnp.float32
+    )
+    time_ids = jnp.concatenate([rep(tid), rep(tid)], axis=0)
+
+    latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
+    latents = denoise(
+        params["unet"], cfgs.unet, latents, context2, pooled2, time_ids, ip2,
+        schedule, ip_scales, guidance_scale=opts.guidance_scale,
+        policy=policy, backend=backend,
+    )
+
+    vae_policy = dtypes.Policy(compute_dtype=jnp.float32)
+    if opts.tile_vae:
+        images = vae.decode_tiled(params["vae"], cfgs.vae, latents, policy=vae_policy)
+    else:
+        images = vae.decode(params["vae"], cfgs.vae, latents, policy=vae_policy)
+    return images  # (num_samples, H, W, 3) in [-1, 1]
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def to_uint8(images) -> np.ndarray:
+    arr = np.asarray(images, dtype=np.float32)
+    return (np.clip(arr / 2 + 0.5, 0.0, 1.0) * 255).round().astype(np.uint8)
+
+
+class HarmonyPipeline:
+    """Host-side front end: tokenization + CLIP preprocessing + PRNG, then
+    one jitted device program per (shape, options) signature.
+
+    API mirrors the reference entry point (IPAdapterXL.generate,
+    reference ip_adapter.py:257-268): generate(pil_image, prompt,
+    negative_prompt, extra_text, scale, num_samples, seed, ...).
+    """
+
+    def __init__(self, params, cfgs: comp.ComponentConfigs, tokenizers=None, *,
+                 policy: dtypes.Policy = dtypes.DEFAULT, backend: Optional[str] = None):
+        self.params = params
+        self.cfgs = cfgs
+        self.tokenizers = tokenizers
+        self.policy = policy
+        self.backend = backend
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def random_tiny(cls, seed=0, **kw):
+        """Random-weight miniature pipeline (tests, demos, benches)."""
+        from imagharmony_tpu.models import tokenizer as tok_lib
+
+        toy = tok_lib.build_toy_tokenizer()
+        cfgs = comp.tiny_configs(vocab_size=len(toy.encoder), **kw)
+        params = comp.init_params(jax.random.PRNGKey(seed), cfgs)
+        toks = tok_lib.SDXLTokenizers(toy, toy)
+        return cls(params, cfgs, toks)
+
+    # -- pieces ------------------------------------------------------------
+
+    def _tokenize(self, text):
+        ids1, ids2 = self.tokenizers(text or "")
+        max_l = self.cfgs.text_l.max_position_embeddings
+        return jnp.asarray(ids1[:, :max_l]), jnp.asarray(ids2[:, :max_l])
+
+    def set_scale(self, scale: float):
+        """Kept for API familiarity (reference ip_adapter.py:179-182);
+        prefer passing scale= to generate()."""
+        self._default_scale = scale
+
+    # -- main entry ----------------------------------------------------------
+
+    def generate(
+        self,
+        pil_image=None,
+        *,
+        pixel_values=None,
+        prompt: Optional[str] = None,
+        negative_prompt: Optional[str] = None,
+        extra_text: Optional[str] = None,
+        scale: float = 1.0,
+        num_samples: int = 1,
+        seed: Optional[int] = None,
+        guidance_scale: float = 5.0,
+        num_inference_steps: int = 30,
+        height: int = 1024,
+        width: int = 1024,
+        scheduler: str = "euler",
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
+        tile_vae: bool = False,
+        output_type: str = "np",
+    ):
+        prompt = prompt or DEFAULT_PROMPT
+        negative_prompt = negative_prompt or DEFAULT_NEGATIVE
+
+        if pixel_values is None:
+            pixel_values = clip_vision.preprocess_numpy(
+                pil_image, image_size=self.cfgs.vision.image_size
+            )
+        pixel_values = jnp.asarray(pixel_values[:1])
+
+        ids = {}
+        ids["pos_l"], ids["pos_g"] = self._tokenize(prompt)
+        ids["neg_l"], ids["neg_g"] = self._tokenize(negative_prompt)
+        if extra_text is not None:
+            ids["extra_l"], ids["extra_g"] = self._tokenize(extra_text)
+
+        opts = EditOptions(
+            height=height,
+            width=width,
+            num_inference_steps=num_inference_steps,
+            scheduler=scheduler,
+            guidance_scale=guidance_scale,
+            ip_scale=scale,
+            control_guidance_start=control_guidance_start,
+            control_guidance_end=control_guidance_end,
+            use_harmony=extra_text is not None,
+            tile_vae=tile_vae,
+        )
+
+        down = self.cfgs.vae.downscale
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        noise = jax.random.normal(
+            key, (num_samples, height // down, width // down, 4), jnp.float32
+        )
+
+        images = _edit_jit(
+            self.params, self.cfgs, opts, ids, pixel_values, noise,
+            num_samples=num_samples, policy=self.policy, backend=self.backend,
+        )
+        if output_type == "latent":
+            return images
+        arr = to_uint8(images)
+        if output_type == "pil":
+            from PIL import Image
+
+            return [Image.fromarray(a) for a in arr]
+        return arr
+
+    # convenience alias matching the task phrasing
+    def edit(self, image, prompt, extra_text=None, **kw):
+        return self.generate(pil_image=image, prompt=prompt, extra_text=extra_text, **kw)

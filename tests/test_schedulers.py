@@ -1,0 +1,69 @@
+"""Scheduler invariants (numpy-oracle, no diffusers dependency)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from imagharmony_tpu.schedulers import diffusion as sched
+
+
+def test_alphas_cumprod_monotone():
+    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+    assert acp.shape == (1000,)
+    assert (np.diff(acp) < 0).all()
+    assert 0 < acp[-1] < acp[0] < 1
+
+
+def test_add_noise_endpoints():
+    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+    x0 = jnp.ones((2, 4, 4, 4))
+    eps = jnp.full((2, 4, 4, 4), 2.0)
+    t0 = sched.add_noise(acp, x0, eps, jnp.array([0, 0]))
+    # at t=0 almost all signal
+    np.testing.assert_allclose(np.asarray(t0), np.sqrt(acp[0]) * 1 + np.sqrt(1 - acp[0]) * 2, rtol=1e-5)
+    t999 = sched.add_noise(acp, x0, eps, jnp.array([999, 999]))
+    assert np.asarray(t999).mean() > 1.5  # mostly noise (eps=2)
+
+
+def test_euler_schedule_shapes_and_recovery():
+    s = sched.euler_schedule(30)
+    assert s.timesteps.shape == (30,)
+    assert s.sigmas.shape == (31,)
+    assert float(s.sigmas[-1]) == 0.0
+    assert 10 < s.init_noise_sigma < 15  # SDXL sigma at t=958 ~11.5
+
+    # Euler parametrization: x_t = x0 + sigma * eps. A perfect eps-model
+    # must land exactly on x0 after the full loop.
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    eps = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    x = jnp.array(x0 + float(s.sigmas[0]) * eps)
+    for i in range(s.num_steps):
+        scaled = sched.scale_model_input(s, i, x)
+        assert np.isfinite(np.asarray(scaled)).all()
+        x = sched.step(s, i, jnp.array(eps), x)
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-3, atol=1e-3)
+
+
+def test_ddim_schedule_recovery():
+    s = sched.ddim_schedule(10)
+    assert s.timesteps.shape == (10,)
+    assert float(s.sigmas[-1]) == 1.0  # final alpha_prev = 1 → x0
+
+    # DDPM parametrization: x_t = sqrt(a) x0 + sqrt(1-a) eps; perfect model
+    # recovers x0 through the DDIM (eta=0) chain.
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    eps = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    a0 = float(s.sigmas[0])
+    x = jnp.array(np.sqrt(a0) * x0 + np.sqrt(1 - a0) * eps)
+    for i in range(s.num_steps):
+        x = sched.step(s, i, jnp.array(eps), x)
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-3, atol=1e-3)
+
+
+def test_leading_spacing_offset():
+    s = sched.euler_schedule(30)
+    ts = np.asarray(s.timesteps)
+    assert ts[0] == 1000 // 30 * 29 + 1  # leading spacing + steps_offset 1
+    assert ts[-1] == 1.0
+    assert (np.diff(ts) < 0).all()
