@@ -1,0 +1,122 @@
+"""Benchmark: images/sec/chip for a 30-step 1024² SDXL QL-Edit.
+
+Measures the dominant cost of the reference's headline operating point
+(reference test.py:32-36: 30-step SDXL edit, 1024² out, CFG pair): the full
+jitted denoise loop (30 UNet steps on a CFG-packed batch, decoupled IP
+branch active on the target block) + VAE decode, on one chip, bf16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: an A100 (the reference's implied hardware) runs the same 30-step
+1024² SDXL edit at ~0.40 images/s (≈2.5 s/image, fp16 + memory-efficient
+attention, batch 1 — widely reproduced public number for SDXL-base).
+BASELINE.json's target is ≥2x that on v5e.
+
+Env knobs:
+  IMAGHARMONY_BENCH_SIZE   full|small|tiny   (default full on TPU)
+  IMAGHARMONY_BENCH_STEPS  denoise steps     (default 30)
+  IMAGHARMONY_BENCH_RES    output px         (default 1024)
+  IMAGHARMONY_BENCH_ATTN   xla|pallas        (default pallas on TPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.models import unet, vae
+    from imagharmony_tpu.pipelines.harmony_edit import denoise
+    from imagharmony_tpu.schedulers import diffusion as sched
+
+    size = os.environ.get("IMAGHARMONY_BENCH_SIZE", "full" if on_tpu else "tiny")
+    steps = int(os.environ.get("IMAGHARMONY_BENCH_STEPS", "30"))
+    res = int(os.environ.get("IMAGHARMONY_BENCH_RES", "1024" if size == "full" else "256"))
+    backend = os.environ.get("IMAGHARMONY_BENCH_ATTN", "pallas" if on_tpu else "xla")
+
+    if size == "full":
+        ucfg = unet.UNetConfig()
+        vcfg = vae.VAEConfig()
+        ctx_dim, pooled_dim = 2048, 1280
+    elif size == "small":
+        ucfg = unet.UNetConfig(
+            block_out_channels=(160, 320, 640),
+            transformer_layers_per_block=(1, 2, 4),
+            num_attention_heads=(5, 10, 20),
+            attention_head_dim=32,
+            cross_attention_dim=1024,
+            projection_class_embeddings_input_dim=256 * 6 + 640,
+        )
+        vcfg = vae.VAEConfig(block_out_channels=(64, 128, 256, 256))
+        ctx_dim, pooled_dim = 1024, 640
+    else:
+        ucfg = unet.tiny_config()
+        vcfg = vae.tiny_config()
+        ctx_dim, pooled_dim = ucfg.cross_attention_dim, 32
+
+    dtype = jnp.bfloat16
+    policy = dtypes.Policy(param_dtype=dtype, compute_dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    uparams = unet.init(key, ucfg, dtype=dtype)
+    vparams = vae.init(jax.random.PRNGKey(1), vcfg, dtype=dtype)
+
+    lat = res // vcfg.downscale
+    b = 1  # one edit (CFG pair packed inside denoise)
+    schedule = sched.make("euler", steps)
+    ip_scales = jnp.ones((steps,), jnp.float32)
+
+    noise = jax.random.normal(jax.random.PRNGKey(2), (b, lat, lat, 4), dtype)
+    context = jax.random.normal(jax.random.PRNGKey(3), (2 * b, 81, ctx_dim), dtype)
+    pooled = jax.random.normal(jax.random.PRNGKey(4), (2 * b, pooled_dim), dtype)
+    time_ids = jnp.tile(jnp.array([[res, res, 0, 0, res, res]], jnp.float32), (2 * b, 1))
+    ip_tokens = jax.random.normal(jax.random.PRNGKey(5), (2 * b, 4, ctx_dim), dtype)
+
+    @jax.jit
+    def edit_core(uparams, vparams, noise, context, pooled, time_ids, ip_tokens):
+        latents = (noise * schedule.init_noise_sigma).astype(dtype)
+        latents = denoise(
+            uparams, ucfg, latents, context, pooled, time_ids, ip_tokens,
+            schedule, ip_scales, guidance_scale=5.0, policy=policy, backend=backend,
+        )
+        return vae.decode(vparams, vcfg, latents, policy=policy)
+
+    # compile + warmup
+    t0 = time.time()
+    out = edit_core(uparams, vparams, noise, context, pooled, time_ids, ip_tokens)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    # timed runs
+    reps = 3 if size == "full" else 2
+    t0 = time.time()
+    for _ in range(reps):
+        out = edit_core(uparams, vparams, noise, context, pooled, time_ids, ip_tokens)
+    out.block_until_ready()
+    per_image = (time.time() - t0) / reps / b
+    ips = 1.0 / per_image
+
+    a100_baseline = 0.40  # images/s, 30-step 1024^2 SDXL on A100 (see docstring)
+    record = {
+        "metric": f"images/sec/chip, {steps}-step {res}x{res} SDXL edit ({size}, attn={backend})",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / a100_baseline, 3),
+    }
+    print(json.dumps(record))
+    print(
+        f"# per-image {per_image:.2f}s | compile {compile_s:.0f}s | platform {platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

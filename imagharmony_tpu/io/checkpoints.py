@@ -1,0 +1,381 @@
+"""Checkpoint ingestion/export: SDXL bases, IP-Adapter 3-dict format, ours.
+
+Covers the reference's whole checkpoint surface:
+
+* **SDXL/CLIP bases** — HF diffusers/transformers directories (safetensors
+  or torch .bin) → our param pytrees via io/hf_import (torch-free readers).
+* **Adapter checkpoints** — the 3-dict ``{"image_proj", "ip_adapter",
+  "composed_adapter"}`` format produced by reference convert_bin.py:36-43
+  and consumed by ip_adapter/ip_adapter.py:149-154. We read and write it
+  (both .bin and .safetensors — the reference's safetensors branch is
+  broken, ip_adapter.py:137-147; ours works and embeds the HA config as
+  metadata, closing the hyperparameter hand-sync footgun of
+  reference test.py:9-15).
+* **Training-run conversion** — the convert_bin.py equivalent: walk
+  checkpoint dirs, re-key accelerate-style flat dumps into the 3-dict form.
+
+The ``ip_adapter`` dict keys are ``<N>.to_k_ip.weight`` where N indexes
+diffusers' ``unet.attn_processors`` enumeration (all attn1+attn2 processors
+in module-registration order: down_blocks, up_blocks, mid_block —
+reference train.py:569 wraps them in one ModuleList). We reproduce that
+enumeration exactly so reference checkpoints map onto our static layers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from imagharmony_tpu.adapters import harmony as harmony_lib
+from imagharmony_tpu.io import hf_import, safetensors_io, torch_pickle
+from imagharmony_tpu.models.unet import UNetConfig
+
+
+# ---------------------------------------------------------------------------
+# Generic file loading
+# ---------------------------------------------------------------------------
+
+
+def load_flat(path) -> Dict[str, np.ndarray]:
+    """Load any checkpoint file into a flat {key: array} dict."""
+    path = str(path)
+    if path.endswith(".safetensors"):
+        tensors, _ = safetensors_io.load(path)
+        return tensors
+    obj = torch_pickle.load(path)
+    return flatten_nested(obj)
+
+
+def flatten_nested(obj, prefix="") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            flat.update(flatten_nested(v, f"{prefix}{k}."))
+    else:
+        flat[prefix[:-1]] = obj
+    return flat
+
+
+def load_sharded_dir(dirpath) -> Dict[str, np.ndarray]:
+    """Load a HF model dir (single or index-sharded safetensors / .bin)."""
+    entries = sorted(os.listdir(dirpath))
+    index = [e for e in entries if e.endswith(".index.json")]
+    if index:
+        with open(os.path.join(dirpath, index[0])) as f:
+            weight_map = json.load(f)["weight_map"]
+        flat = {}
+        for shard in sorted(set(weight_map.values())):
+            flat.update(load_flat(os.path.join(dirpath, shard)))
+        return flat
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "pytorch_model.bin",
+    ):
+        p = os.path.join(dirpath, name)
+        if os.path.exists(p):
+            return load_flat(p)
+    raise FileNotFoundError(f"no model weights found in {dirpath}")
+
+
+# ---------------------------------------------------------------------------
+# Attention-processor enumeration (diffusers order)
+# ---------------------------------------------------------------------------
+
+
+def attn_processor_paths(cfg: UNetConfig) -> List[Tuple[str, Optional[Tuple[str, ...]]]]:
+    """The diffusers ``unet.attn_processors`` enumeration for this config.
+
+    Returns [(diffusers_processor_name, our_attn2_tree_path_or_None), ...]
+    in registration order (down_blocks, up_blocks, mid_block; within a
+    transformer block attn1 then attn2). attn1 rows map to None — they
+    carry no IP params but still consume an index in the reference's
+    ModuleList (train.py:569)."""
+    rows = []
+
+    def add_transformer(dname, our_prefix, block_idx):
+        n_tb = cfg.transformer_layers_per_block[block_idx]
+        for tb in range(n_tb):
+            rows.append((f"{dname}.transformer_blocks.{tb}.attn1.processor", None))
+            rows.append(
+                (
+                    f"{dname}.transformer_blocks.{tb}.attn2.processor",
+                    our_prefix + ("transformer_blocks", str(tb), "attn2"),
+                )
+            )
+
+    for i, btype in enumerate(cfg.down_block_types):
+        if btype == "CrossAttnDownBlock2D":
+            for j in range(cfg.layers_per_block):
+                add_transformer(
+                    f"down_blocks.{i}.attentions.{j}",
+                    ("down_blocks", str(i), "attentions", str(j)),
+                    i,
+                )
+    for i, btype in enumerate(cfg.up_block_types):
+        if btype == "CrossAttnUpBlock2D":
+            block_idx = len(cfg.block_out_channels) - 1 - i
+            for j in range(cfg.layers_per_block + 1):
+                add_transformer(
+                    f"up_blocks.{i}.attentions.{j}",
+                    ("up_blocks", str(i), "attentions", str(j)),
+                    block_idx,
+                )
+    add_transformer(
+        "mid_block.attentions.0",
+        ("mid_block", "attentions", "0"),
+        len(cfg.block_out_channels) - 1,
+    )
+    return rows
+
+
+def _tree_get(tree, path):
+    node = tree
+    for s in path:
+        node = node[int(s)] if isinstance(node, list) else node[s]
+    return node
+
+
+def _tree_set(tree, path, value):
+    node = tree
+    for s in path[:-1]:
+        node = node[int(s)] if isinstance(node, list) else node[s]
+    last = path[-1]
+    if isinstance(node, list):
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+# ---------------------------------------------------------------------------
+# Adapter 3-dict format
+# ---------------------------------------------------------------------------
+
+
+def apply_adapter_state(unet_params, cfg: UNetConfig, ip_adapter_flat: Dict[str, np.ndarray]):
+    """Load the reference's ``ip_adapter`` dict ("N.to_k_ip.weight") into
+    our UNet tree (in place on a copied tree; returns the new tree)."""
+    import jax
+
+    unet_params = jax.tree.map(lambda x: x, unet_params)  # shallow copy tree
+    rows = attn_processor_paths(cfg)
+    loaded = 0
+    for idx, (_, our_path) in enumerate(rows):
+        if our_path is None:
+            continue
+        for proj in ("to_k_ip", "to_v_ip"):
+            key = f"{idx}.{proj}.weight"
+            if key not in ip_adapter_flat:
+                raise KeyError(f"adapter checkpoint missing {key}")
+            arr = np.asarray(ip_adapter_flat[key]).T  # torch (out,in) -> (in,out)
+            target = _tree_get(unet_params, our_path)[proj]["weight"]
+            if arr.shape != tuple(target.shape):
+                raise ValueError(
+                    f"{key}: ckpt {arr.shape} vs model {tuple(target.shape)}"
+                )
+            _tree_get(unet_params, our_path)[proj]["weight"] = arr.astype(
+                np.asarray(target).dtype if hasattr(target, "dtype") else np.float32
+            )
+            loaded += 1
+    assert loaded > 0
+    return unet_params
+
+
+def extract_adapter_state(unet_params, cfg: UNetConfig) -> Dict[str, np.ndarray]:
+    """Inverse: our UNet tree -> reference-format ``ip_adapter`` flat dict."""
+    out = {}
+    for idx, (_, our_path) in enumerate(attn_processor_paths(cfg)):
+        if our_path is None:
+            continue
+        attn = _tree_get(unet_params, our_path)
+        for proj in ("to_k_ip", "to_v_ip"):
+            out[f"{idx}.{proj}.weight"] = np.asarray(attn[proj]["weight"]).T
+    return out
+
+
+def save_adapter_checkpoint(
+    path,
+    *,
+    unet_params,
+    unet_cfg: UNetConfig,
+    image_proj_params,
+    harmony_params,
+    harmony_cfg: harmony_lib.HarmonyConfig,
+):
+    """Write the 3-dict adapter checkpoint (reference convert_bin.py:36-43
+    format). ``.bin`` → torch zip-pickle (loads with stock torch.load);
+    ``.safetensors`` → flat keys with dict prefixes + HA config metadata."""
+    image_proj = hf_import.export_tree(image_proj_params)
+    composed = hf_import.export_tree(harmony_params, prefix="")
+    composed = {_harmony_export_key(k): v for k, v in composed.items()}
+    ip = extract_adapter_state(unet_params, unet_cfg)
+    path = str(path)
+    if path.endswith(".safetensors"):
+        flat = {}
+        for prefix, d in (
+            ("image_proj", image_proj),
+            ("ip_adapter", ip),
+            ("composed_adapter", composed),
+        ):
+            for k, v in d.items():
+                flat[f"{prefix}.{k}"] = v
+        safetensors_io.save(
+            path, flat, metadata={"harmony_config": json.dumps(harmony_cfg.to_dict())}
+        )
+    else:
+        torch_pickle.save(
+            path,
+            {
+                "image_proj": image_proj,
+                "ip_adapter": ip,
+                "composed_adapter": composed,
+                "harmony_config": json.dumps(harmony_cfg.to_dict()),
+            },
+        )
+
+
+def load_adapter_checkpoint(path):
+    """-> (image_proj_flat, ip_adapter_flat, composed_flat, harmony_cfg|None)."""
+    path = str(path)
+    if path.endswith(".safetensors"):
+        tensors, meta = safetensors_io.load(path)
+        groups = {"image_proj": {}, "ip_adapter": {}, "composed_adapter": {}}
+        for k, v in tensors.items():
+            head, rest = k.split(".", 1)
+            groups[head][rest] = v
+        cfg = None
+        if "harmony_config" in meta:
+            cfg = harmony_lib.HarmonyConfig.from_dict(json.loads(meta["harmony_config"]))
+        return groups["image_proj"], groups["ip_adapter"], groups["composed_adapter"], cfg
+    obj = torch_pickle.load(path)
+    cfg = None
+    if "harmony_config" in obj:
+        cfg = harmony_lib.HarmonyConfig.from_dict(json.loads(obj["harmony_config"]))
+    return (
+        flatten_nested(obj["image_proj"]),
+        flatten_nested(obj["ip_adapter"]),
+        flatten_nested(obj.get("composed_adapter", {})),
+        cfg,
+    )
+
+
+def _harmony_export_key(k: str) -> str:
+    # our qformer packed in_proj dict -> torch's in_proj_weight/in_proj_bias
+    return k.replace("in_proj.weight", "in_proj_weight").replace(
+        "in_proj.bias", "in_proj_bias"
+    )
+
+
+def _harmony_import_key(k: str) -> str:
+    return k.replace("in_proj_weight", "in_proj.weight").replace(
+        "in_proj_bias", "in_proj.bias"
+    )
+
+
+def import_harmony(template, composed_flat):
+    """Reference ``composed_adapter`` dict -> our HA tree."""
+    flat = {_harmony_import_key(k): v for k, v in composed_flat.items()}
+    return hf_import.import_tree(template, flat)
+
+
+# ---------------------------------------------------------------------------
+# Training-run conversion (convert_bin.py equivalent)
+# ---------------------------------------------------------------------------
+
+
+def convert_training_checkpoints(log_dir, *, pattern="checkpoint-"):
+    """Walk ``log_dir`` for accelerate-style ``checkpoint-*/pytorch_model.bin``
+    (or our orbax exports) and write ``ip_adapter.bin`` next to each —
+    the reference's convert_bin.py:58-102 flow, torch-free."""
+    converted = []
+    for root, dirs, files in os.walk(log_dir):
+        base = os.path.basename(root)
+        if not base.startswith(pattern):
+            continue
+        src = os.path.join(root, "pytorch_model.bin")
+        dst = os.path.join(root, "ip_adapter.bin")
+        if not os.path.exists(src) or os.path.exists(dst):
+            continue
+        sd = flatten_nested(torch_pickle.load(src))
+        out = {"image_proj": {}, "ip_adapter": {}, "composed_adapter": {}}
+        for k, v in sd.items():
+            if k.startswith("image_proj_model."):
+                out["image_proj"][k[len("image_proj_model.") :]] = v
+            elif k.startswith("adapter_modules."):
+                out["ip_adapter"][k[len("adapter_modules.") :]] = v
+            elif k.startswith("composed_modules."):
+                out["composed_adapter"][k[len("composed_modules.") :]] = v
+        if any(out.values()):
+            torch_pickle.save(dst, out)
+            converted.append(dst)
+    return converted
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline assembly from checkpoint directories
+# ---------------------------------------------------------------------------
+
+
+def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None, **kw):
+    """Build a HarmonyPipeline from HF checkpoint directories (the test.py
+    assembly path, reference test.py:66-104). Requires local checkpoints;
+    without them use HarmonyPipeline.random_tiny()."""
+    import jax
+
+    from imagharmony_tpu.models import clip_text, clip_vision, tokenizer, unet, vae
+    from imagharmony_tpu.pipelines import components as comp
+    from imagharmony_tpu.pipelines.harmony_edit import HarmonyPipeline
+
+    if model_dir is None:
+        raise ValueError(
+            "no --model-dir given; for a checkpoint-free smoke run use "
+            "`imagharmony demo`"
+        )
+
+    cfgs = comp.sdxl_configs()
+    shapes = jax.eval_shape(lambda: comp.init_params(jax.random.PRNGKey(0), cfgs))
+
+    params = {}
+    params["unet"] = hf_import.import_tree(
+        shapes["unet"], load_sharded_dir(os.path.join(model_dir, "unet"))
+    )
+    params["vae"] = hf_import.import_tree(
+        shapes["vae"], load_sharded_dir(os.path.join(model_dir, "vae"))
+    )
+    params["text_encoder"] = hf_import.import_tree(
+        shapes["text_encoder"],
+        load_sharded_dir(os.path.join(model_dir, "text_encoder")),
+        prefix="text_model.",
+    )
+    params["text_encoder_2"] = hf_import.import_tree(
+        shapes["text_encoder_2"],
+        load_sharded_dir(os.path.join(model_dir, "text_encoder_2")),
+        prefix="text_model.",
+        key_map=lambda k: k.replace("text_model.text_projection", "text_projection"),
+    )
+    enc_dir = image_encoder_dir or os.path.join(model_dir, "image_encoder")
+    params["image_encoder"] = hf_import.import_tree(
+        shapes["image_encoder"],
+        load_sharded_dir(enc_dir),
+        prefix="vision_model.",
+        key_map=lambda k: k.replace("vision_model.visual_projection", "visual_projection"),
+    )
+
+    params["image_proj"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["image_proj"])
+    params["harmony"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["harmony"])
+    if adapter_ckpt:
+        image_proj_flat, ip_flat, composed_flat, ha_cfg = load_adapter_checkpoint(adapter_ckpt)
+        if ha_cfg is not None and ha_cfg != cfgs.harmony:
+            cfgs = comp.sdxl_configs(harmony_cfg=ha_cfg)
+            shapes = jax.eval_shape(lambda: comp.init_params(jax.random.PRNGKey(0), cfgs))
+        params["image_proj"] = hf_import.import_tree(shapes["image_proj"], image_proj_flat)
+        params["unet"] = apply_adapter_state(params["unet"], cfgs.unet, ip_flat)
+        if composed_flat:
+            params["harmony"] = import_harmony(shapes["harmony"], composed_flat)
+
+    toks = tokenizer.SDXLTokenizers.from_pretrained_dir(model_dir)
+    return HarmonyPipeline(params, cfgs, toks, **kw)

@@ -1,0 +1,199 @@
+"""Jitted adapter-training step (the reference's train.py hot loop, §3.2).
+
+One pure function computes: VAE encode → forward diffusion → frozen
+encoders → HA fuse → image proj → UNet eps prediction → MSE — then AdamW on
+exactly the trainable subtree. Under a ``data``-axis mesh, jit inserts the
+gradient all-reduce automatically (replicated params × sharded batch); no
+DDP wrapper, no explicit collective calls (vs reference train.py:616,694).
+
+Gradient flow is cut at the frozen-encoder boundary with stop_gradient, so
+the backward pass touches the UNet (whose activations carry adapter grads)
+but never the CLIP/VAE towers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.adapters import harmony
+from imagharmony_tpu.models import clip_text, clip_vision, unet, vae
+from imagharmony_tpu.pipelines import components as comp
+from imagharmony_tpu.schedulers import diffusion as sched
+from imagharmony_tpu.utils import tree as tree_util
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Defaults mirror the shipped run (reference run.sh:8-20)."""
+
+    learning_rate: float = 2.5e-4
+    weight_decay: float = 1e-2
+    noise_offset: Optional[float] = None
+    num_train_timesteps: int = 1000
+    train_image_proj: bool = False  # reference excludes it (train.py:600)
+    max_grad_norm: Optional[float] = None
+    gradient_checkpoint: bool = True
+
+    def predicate(self) -> Callable:
+        return (
+            tree_util.adapter_plus_proj_predicate
+            if self.train_image_proj
+            else tree_util.adapter_predicate
+        )
+
+
+def make_optimizer(cfg: TrainConfig):
+    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+def init_state(params, cfg: TrainConfig):
+    """Split params into (trainable, frozen) and build optimizer state."""
+    trainable, frozen = tree_util.split_by_path(params, cfg.predicate())
+    opt_state = make_optimizer(cfg).init(trainable)
+    return {"trainable": trainable, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}, frozen
+
+
+def loss_fn(
+    trainable,
+    frozen,
+    cfgs: comp.ComponentConfigs,
+    tcfg: TrainConfig,
+    batch,
+    rng,
+    *,
+    policy: dtypes.Policy = dtypes.DEFAULT,
+    backend=None,
+):
+    params = tree_util.merge(trainable, frozen)
+    sg = jax.lax.stop_gradient
+    r_noise, r_t, r_lat, r_off = jax.random.split(rng, 4)
+    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+
+    # --- frozen VAE encode (fp32 for stability, reference train.py:628) ---
+    latents = sg(
+        vae.encode(
+            params["vae"], cfgs.vae, batch["images"], r_lat, policy=dtypes.FP32
+        )
+    ).astype(policy.compute_dtype)
+    b = latents.shape[0]
+
+    # --- forward diffusion ---
+    noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+    if tcfg.noise_offset:
+        # channel-wise offset trick (reference train.py:634-636)
+        noise = noise + tcfg.noise_offset * jax.random.normal(
+            r_off, (b, 1, 1, latents.shape[-1]), jnp.float32
+        )
+    noise = noise.astype(latents.dtype)
+    timesteps = jax.random.randint(r_t, (b,), 0, tcfg.num_train_timesteps)
+    noisy = sched.add_noise(acp, latents, noise, timesteps)
+
+    # --- frozen encoders ---
+    context, pooled = clip_text.encode_for_sdxl(
+        params["text_encoder"], cfgs.text_l,
+        params["text_encoder_2"], cfgs.text_g,
+        batch["ids_l"], batch["ids_g"], policy=policy,
+    )
+    context, pooled = sg(context), sg(pooled)
+    extra_ctx, _ = clip_text.encode_for_sdxl(
+        params["text_encoder"], cfgs.text_l,
+        params["text_encoder_2"], cfgs.text_g,
+        batch["extra_l"], batch["extra_g"], policy=policy,
+    )
+    extra_ctx = sg(extra_ctx)
+
+    vision_out = clip_vision.apply(
+        params["image_encoder"], cfgs.vision, batch["clip_pixels"], policy=policy
+    )
+    image_embeds = sg(vision_out["projected"])
+    # per-sample CFG dropout of the image condition (reference train.py:651-657)
+    keep = (1.0 - batch["drop_image"]).astype(image_embeds.dtype)[:, None]
+    image_embeds = image_embeds * keep
+
+    # --- trainable surface: HA fuse + proj + decoupled attention ---
+    fused = harmony.fuse_image_embeds(
+        params["harmony"], cfgs.harmony, extra_ctx, image_embeds, policy=policy
+    )
+    ip_tokens = comp.project_image_embeds(
+        params, cfgs, {**{k: sg(v) for k, v in vision_out.items()}, "projected": fused},
+        policy=policy,
+    )
+
+    time_ids = jnp.concatenate(
+        [batch["original_size"], batch["crop_coords"], batch["target_size"]], axis=-1
+    ).astype(jnp.float32)
+
+    def _unet_fwd(p, noisy_, t_, ctx_, pooled_, tids_, ip_):
+        return unet.apply(
+            p, cfgs.unet, noisy_, t_, ctx_,
+            pooled_text_embeds=pooled_, time_ids=tids_,
+            ip_tokens=ip_, ip_scale=1.0, policy=policy, backend=backend,
+        )
+
+    if tcfg.gradient_checkpoint:
+        # rematerialize UNet activations: the frozen 2.6B base contributes
+        # no param grads, only activation grads for the adapters — trading
+        # its activation memory for recompute is nearly free on the MXU
+        _unet_fwd = jax.checkpoint(
+            _unet_fwd, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    eps_pred = _unet_fwd(
+        params["unet"], noisy, timesteps, context, pooled, time_ids, ip_tokens
+    )
+    loss = jnp.mean((eps_pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+    return loss
+
+
+def make_train_step(cfgs: comp.ComponentConfigs, tcfg: TrainConfig, *,
+                    policy: dtypes.Policy = dtypes.DEFAULT, backend=None):
+    tx = make_optimizer(tcfg)
+
+    def train_step(state, frozen, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn)
+        loss, grads = grad_fn(
+            state["trainable"], frozen, cfgs, tcfg, batch, rng,
+            policy=policy, backend=backend,
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
+        trainable = optax.apply_updates(state["trainable"], updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return (
+            {"trainable": trainable, "opt_state": opt_state, "step": state["step"] + 1},
+            metrics,
+        )
+
+    return train_step
+
+
+def dummy_batch(cfgs: comp.ComponentConfigs, batch_size=2, resolution=32, rng=None):
+    """Synthetic batch with the real schema (tests / dryruns)."""
+    import numpy as np
+
+    r = np.random.default_rng(0 if rng is None else rng)
+    seq = cfgs.text_l.max_position_embeddings
+    return {
+        "images": r.normal(size=(batch_size, resolution, resolution, 3)).astype(np.float32) * 0.5,
+        "clip_pixels": r.normal(
+            size=(batch_size, cfgs.vision.image_size, cfgs.vision.image_size, 3)
+        ).astype(np.float32),
+        "ids_l": r.integers(0, cfgs.text_l.vocab_size, (batch_size, seq)).astype(np.int32),
+        "ids_g": r.integers(0, cfgs.text_g.vocab_size, (batch_size, seq)).astype(np.int32),
+        "extra_l": r.integers(0, cfgs.text_l.vocab_size, (batch_size, seq)).astype(np.int32),
+        "extra_g": r.integers(0, cfgs.text_g.vocab_size, (batch_size, seq)).astype(np.int32),
+        "drop_image": np.zeros((batch_size,), np.float32),
+        "original_size": np.full((batch_size, 2), resolution, np.float32),
+        "crop_coords": np.zeros((batch_size, 2), np.float32),
+        "target_size": np.full((batch_size, 2), resolution, np.float32),
+    }
