@@ -33,9 +33,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from imagharmony_tpu import dtypes
-from imagharmony_tpu.nn import layers
+from imagharmony_tpu.nn import layers, prng
 
 FUSION_METHODS = ("cross_attention", "qformer", "mlp", "gated-attention")
 
@@ -112,7 +113,7 @@ def _cross_attention_init(key, cfg: HarmonyConfig, *, dtype):
     (reference attention_processor.py:12-56)."""
     qd, h, vd = cfg.query_dim, cfg.cross_heads, cfg.cross_value_dim
     hd = qd // h
-    k = jax.random.split(key, 4)
+    k = prng.split(key, 4)
     return {
         "to_q": layers.linear_init(k[0], qd, h * hd, dtype=dtype),
         "to_k": layers.linear_init(k[1], cfg.text_context_dim, h * hd, dtype=dtype),
@@ -142,9 +143,9 @@ def _qformer_init(key, cfg: HarmonyConfig, *, dtype):
     concat[queries, image, text] with modality embeddings
     (reference baseline.py:5-64)."""
     d = cfg.query_dim
-    k = iter(jax.random.split(key, 4 + 6 * cfg.qformer_layers))
+    k = iter(prng.split(key, 4 + 6 * cfg.qformer_layers))
     p = {
-        "query_tokens": jax.random.normal(next(k), (1, cfg.qformer_queries, d), dtype),
+        "query_tokens": next(k).normal((1, cfg.qformer_queries, d), dtype),
         "modality_embed": layers.embedding_init(next(k), 2, d, dtype=dtype),
         "image_proj": layers.linear_init(next(k), d, d, dtype=dtype),
         "text_proj": layers.linear_init(next(k), cfg.text_context_dim, d, dtype=dtype),
@@ -155,8 +156,8 @@ def _qformer_init(key, cfg: HarmonyConfig, *, dtype):
             {
                 "self_attn": {
                     "in_proj": {
-                        "weight": jax.random.normal(next(k), (d, 3 * d), dtype) * (d**-0.5),
-                        "bias": jnp.zeros((3 * d,), dtype),
+                        "weight": next(k).normal((d, 3 * d), dtype, stddev=d**-0.5),
+                        "bias": np.zeros((3 * d,), dtype),
                     },
                     "out_proj": layers.linear_init(next(k), d, d, dtype=dtype),
                 },
@@ -211,7 +212,7 @@ def _qformer(p, cfg, x, text, *, policy):
 
 def _mlp_init(key, cfg: HarmonyConfig, *, dtype):
     d = cfg.query_dim
-    k = iter(jax.random.split(key, 5))
+    k = iter(prng.split(key, 5))
     return {
         "image_proj": layers.linear_init(next(k), d, d, dtype=dtype),
         "text_proj": layers.linear_init(next(k), cfg.text_context_dim, d, dtype=dtype),
@@ -238,7 +239,7 @@ def _mlp(p, cfg, x, text, *, policy):
 
 def _gated_init(key, cfg: HarmonyConfig, *, dtype):
     d = cfg.query_dim
-    k = iter(jax.random.split(key, 5))
+    k = iter(prng.split(key, 5))
     return {
         "img_proj": layers.linear_init(next(k), d, d, dtype=dtype),
         "txt_proj": layers.linear_init(next(k), cfg.text_context_dim, d, dtype=dtype),
@@ -289,7 +290,7 @@ _FUSION_APPLY = {
 def init(key, cfg: HarmonyConfig, *, dtype=jnp.float32):
     if cfg.fusion_method not in FUSION_METHODS:
         raise ValueError(f"unknown fusion_method {cfg.fusion_method!r}")
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = prng.split(key, 3)
     return {
         "fc1": layers.linear_init(k1, cfg.image_hidden_size, cfg.inter_dim, dtype=dtype),
         "fusion_text_image": _FUSION_INIT[cfg.fusion_method](k2, cfg, dtype=dtype),

@@ -15,11 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from imagharmony_tpu import dtypes
-from imagharmony_tpu.nn import layers
+from imagharmony_tpu.nn import layers, prng
 
 
 def image_proj_init(key, *, clip_embed_dim=1280, cross_attention_dim=2048, num_tokens=4, dtype=jnp.float32):
-    k1, _ = jax.random.split(key)
+    k1, _ = prng.split(key, 2)
     return {
         "proj": layers.linear_init(k1, clip_embed_dim, num_tokens * cross_attention_dim, dtype=dtype),
         "norm": layers.layer_norm_init(cross_attention_dim, dtype=dtype),
@@ -35,7 +35,7 @@ def image_proj(params, image_embeds, *, num_tokens=4, policy=dtypes.DEFAULT):
 
 
 def mlp_proj_init(key, *, clip_hidden_dim=1664, cross_attention_dim=2048, dtype=jnp.float32):
-    k1, k2 = jax.random.split(key)
+    k1, k2 = prng.split(key, 2)
     return {
         "proj": {
             "0": layers.linear_init(k1, clip_hidden_dim, clip_hidden_dim, dtype=dtype),

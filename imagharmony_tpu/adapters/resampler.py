@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from imagharmony_tpu import dtypes
-from imagharmony_tpu.nn import layers
+from imagharmony_tpu.nn import layers, prng
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,7 +52,7 @@ def tiny_config(**overrides) -> ResamplerConfig:
 
 def _perceiver_attn_init(key, cfg, *, dtype):
     inner = cfg.dim_head * cfg.heads
-    k = jax.random.split(key, 3)
+    k = prng.split(key, 3)
     return {
         "norm1": layers.layer_norm_init(cfg.dim, dtype=dtype),
         "norm2": layers.layer_norm_init(cfg.dim, dtype=dtype),
@@ -63,7 +63,7 @@ def _perceiver_attn_init(key, cfg, *, dtype):
 
 
 def _ff_init(key, dim, mult, *, dtype):
-    k1, k2 = jax.random.split(key)
+    k1, k2 = prng.split(key, 2)
     return {
         "0": layers.layer_norm_init(dim, dtype=dtype),
         "1": layers.linear_init(k1, dim, dim * mult, bias=False, dtype=dtype),
@@ -72,10 +72,9 @@ def _ff_init(key, dim, mult, *, dtype):
 
 
 def init(key, cfg: ResamplerConfig, *, dtype=jnp.float32):
-    k = iter(jax.random.split(key, cfg.depth * 2 + 8))
+    k = iter(prng.split(key, cfg.depth * 2 + 8))
     params = {
-        "latents": jax.random.normal(next(k), (1, cfg.num_queries, cfg.dim), dtype)
-        / cfg.dim**0.5,
+        "latents": next(k).normal((1, cfg.num_queries, cfg.dim), dtype, stddev=cfg.dim**-0.5),
         "proj_in": layers.linear_init(next(k), cfg.embedding_dim, cfg.dim, dtype=dtype),
         "proj_out": layers.linear_init(next(k), cfg.dim, cfg.output_dim, dtype=dtype),
         "norm_out": layers.layer_norm_init(cfg.output_dim, dtype=dtype),

@@ -9,8 +9,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _honor_platform_env():
+    """Respect JAX_PLATFORMS even when a sitecustomize (e.g. the axon TPU
+    shim) pinned jax_platforms via jax.config after env parsing."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
 
 
 def _add_edit_args(p):
@@ -150,6 +164,7 @@ def main(argv=None):
     sub.add_parser("train", help="adapter fine-tuning (args passed through)", add_help=False)
 
     args, extra = parser.parse_known_args(argv)
+    _honor_platform_env()
     if args.cmd == "edit":
         cmd_edit(args)
     elif args.cmd == "demo":

@@ -336,8 +336,10 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None, **k
             "`imagharmony demo`"
         )
 
+    from imagharmony_tpu.nn import prng
+
     cfgs = comp.sdxl_configs()
-    shapes = jax.eval_shape(lambda: comp.init_params(jax.random.PRNGKey(0), cfgs))
+    shapes = comp.init_params(prng.abstract_key(), cfgs)
 
     params = {}
     params["unet"] = hf_import.import_tree(
@@ -371,7 +373,7 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None, **k
         image_proj_flat, ip_flat, composed_flat, ha_cfg = load_adapter_checkpoint(adapter_ckpt)
         if ha_cfg is not None and ha_cfg != cfgs.harmony:
             cfgs = comp.sdxl_configs(harmony_cfg=ha_cfg)
-            shapes = jax.eval_shape(lambda: comp.init_params(jax.random.PRNGKey(0), cfgs))
+            shapes = comp.init_params(prng.abstract_key(), cfgs)
         params["image_proj"] = hf_import.import_tree(shapes["image_proj"], image_proj_flat)
         params["unet"] = apply_adapter_state(params["unet"], cfgs.unet, ip_flat)
         if composed_flat:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from imagharmony_tpu import dtypes
 from imagharmony_tpu.nn import attention as attn_lib
-from imagharmony_tpu.nn import layers
+from imagharmony_tpu.nn import layers, prng
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,7 +68,7 @@ def tiny_config(**overrides) -> CLIPTextConfig:
 
 
 def _encoder_layer_init(key, d, inter, *, dtype):
-    k = jax.random.split(key, 6)
+    k = prng.split(key, 6)
     return {
         "layer_norm1": layers.layer_norm_init(d, dtype=dtype),
         "self_attn": {
@@ -86,7 +86,7 @@ def _encoder_layer_init(key, d, inter, *, dtype):
 
 
 def init(key, cfg: CLIPTextConfig, *, dtype=jnp.float32):
-    k = jax.random.split(key, cfg.num_layers + 4)
+    k = prng.split(key, cfg.num_layers + 4)
     params = {
         "embeddings": {
             "token_embedding": layers.embedding_init(k[0], cfg.vocab_size, cfg.hidden_size, dtype=dtype),

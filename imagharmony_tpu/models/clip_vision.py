@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from imagharmony_tpu import dtypes
 from imagharmony_tpu.nn import attention as attn_lib
-from imagharmony_tpu.nn import layers
+from imagharmony_tpu.nn import layers, prng
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,16 +70,16 @@ def tiny_config(**overrides) -> CLIPVisionConfig:
 def init(key, cfg: CLIPVisionConfig, *, dtype=jnp.float32):
     from imagharmony_tpu.models.clip_text import _encoder_layer_init
 
-    k = jax.random.split(key, cfg.num_layers + 5)
+    k = prng.split(key, cfg.num_layers + 5)
     return {
         "embeddings": {
-            "class_embedding": jax.random.normal(k[0], (cfg.hidden_size,), dtype),
+            "class_embedding": k[0].normal((cfg.hidden_size,), dtype),
             # stored HWIO like every conv in this framework
             "patch_embedding": {
-                "weight": jax.random.normal(
-                    k[1], (cfg.patch_size, cfg.patch_size, 3, cfg.hidden_size), dtype
+                "weight": k[1].normal(
+                    (cfg.patch_size, cfg.patch_size, 3, cfg.hidden_size), dtype,
+                    stddev=0.02,
                 )
-                * 0.02
             },
             "position_embedding": layers.embedding_init(
                 k[2], cfg.num_positions, cfg.hidden_size, dtype=dtype

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from imagharmony_tpu import dtypes
-from imagharmony_tpu.nn import layers, transformer
+from imagharmony_tpu.nn import layers, prng, transformer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,7 +101,7 @@ def tiny_config(**overrides) -> UNetConfig:
 
 
 def resnet_block_init(key, in_ch, out_ch, temb_dim, *, dtype=jnp.float32):
-    k = jax.random.split(key, 4)
+    k = prng.split(key, 4)
     params = {
         "norm1": layers.group_norm_init(in_ch, dtype=dtype),
         "conv1": layers.conv2d_init(k[0], in_ch, out_ch, 3, dtype=dtype),
@@ -142,7 +142,7 @@ def upsample(params, x, *, policy=dtypes.DEFAULT):
 
 
 def init(key, cfg: UNetConfig, *, dtype=jnp.float32):
-    k = iter(jax.random.split(key, 256))
+    k = iter(prng.split(key, 256))
     ch = cfg.block_out_channels
     temb_dim = cfg.time_embed_dim
     params = {

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from imagharmony_tpu import dtypes
-from imagharmony_tpu.nn import layers
+from imagharmony_tpu.nn import layers, prng
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,7 +53,7 @@ def tiny_config(**overrides) -> VAEConfig:
 
 
 def _res_init(key, in_ch, out_ch, *, dtype):
-    k = jax.random.split(key, 3)
+    k = prng.split(key, 3)
     p = {
         "norm1": layers.group_norm_init(in_ch, dtype=dtype),
         "conv1": layers.conv2d_init(k[0], in_ch, out_ch, 3, dtype=dtype),
@@ -76,7 +76,7 @@ def _res_apply(p, x, *, groups, policy):
 
 
 def _attn_init(key, ch, *, dtype):
-    k = jax.random.split(key, 4)
+    k = prng.split(key, 4)
     return {
         "group_norm": layers.group_norm_init(ch, dtype=dtype),
         "to_q": layers.linear_init(k[0], ch, ch, dtype=dtype),
@@ -106,7 +106,7 @@ def _attn_apply(p, x, *, groups, policy):
 
 
 def init(key, cfg: VAEConfig, *, dtype=jnp.float32):
-    k = iter(jax.random.split(key, 128))
+    k = iter(prng.split(key, 128))
     ch = cfg.block_out_channels
 
     # Encoder

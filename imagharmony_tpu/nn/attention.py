@@ -116,9 +116,11 @@ def attention_init(
     only uses them on the target block (skip=True elsewhere); we mirror the
     param layout so checkpoints round-trip, while the apply path is static.
     """
+    from imagharmony_tpu.nn import prng
+
     inner = heads * (head_dim or query_dim // heads)
     ctx = context_dim or query_dim
-    keys = jax.random.split(key, 6)
+    keys = prng.split(key, 6)
     params = {
         "to_q": layers.linear_init(keys[0], query_dim, inner, bias=qkv_bias, dtype=dtype),
         "to_k": layers.linear_init(keys[1], ctx, inner, bias=qkv_bias, dtype=dtype),

@@ -24,8 +24,10 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from imagharmony_tpu import dtypes
+from imagharmony_tpu.nn import prng
 
 
 # ---------------------------------------------------------------------------
@@ -35,18 +37,15 @@ from imagharmony_tpu import dtypes
 
 def linear_init(key, in_dim, out_dim, *, bias=True, dtype=jnp.float32, scale=None):
     """Kaiming-uniform init matching torch.nn.Linear defaults, so randomly
-    initialised modules are statistically comparable with the reference."""
-    wkey, bkey = jax.random.split(key)
+    initialised modules are statistically comparable with the reference.
+    Host-side numpy RNG (see nn/prng.py) — zero XLA compiles."""
+    wkey, bkey = prng.ensure(key).split(2)
     bound = scale if scale is not None else 1.0 / math.sqrt(in_dim)
     params = {
-        "weight": jax.random.uniform(
-            wkey, (in_dim, out_dim), dtype, minval=-bound, maxval=bound
-        )
+        "weight": wkey.uniform((in_dim, out_dim), dtype, minval=-bound, maxval=bound)
     }
     if bias:
-        params["bias"] = jax.random.uniform(
-            bkey, (out_dim,), dtype, minval=-bound, maxval=bound
-        )
+        params["bias"] = bkey.uniform((out_dim,), dtype, minval=-bound, maxval=bound)
     return params
 
 
@@ -64,7 +63,7 @@ def linear(params, x, *, policy: dtypes.Policy = dtypes.DEFAULT):
 
 
 def layer_norm_init(dim, *, dtype=jnp.float32):
-    return {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+    return {"weight": np.ones((dim,), dtype), "bias": np.zeros((dim,), dtype)}
 
 
 def layer_norm(params, x, *, eps=1e-5, policy: dtypes.Policy = dtypes.DEFAULT):
@@ -83,7 +82,7 @@ def layer_norm(params, x, *, eps=1e-5, policy: dtypes.Policy = dtypes.DEFAULT):
 
 
 def group_norm_init(channels, *, dtype=jnp.float32):
-    return {"weight": jnp.ones((channels,), dtype), "bias": jnp.zeros((channels,), dtype)}
+    return {"weight": np.ones((channels,), dtype), "bias": np.zeros((channels,), dtype)}
 
 
 def group_norm(params, x, *, num_groups=32, eps=1e-5, policy: dtypes.Policy = dtypes.DEFAULT):
@@ -110,18 +109,16 @@ def group_norm(params, x, *, num_groups=32, eps=1e-5, policy: dtypes.Policy = dt
 def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, dtype=jnp.float32):
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
-    wkey, bkey = jax.random.split(key)
+    wkey, bkey = prng.ensure(key).split(2)
     fan_in = in_ch * kernel_size[0] * kernel_size[1]
     bound = 1.0 / math.sqrt(fan_in)
     params = {
-        "weight": jax.random.uniform(
-            wkey, (*kernel_size, in_ch, out_ch), dtype, minval=-bound, maxval=bound
+        "weight": wkey.uniform(
+            (*kernel_size, in_ch, out_ch), dtype, minval=-bound, maxval=bound
         )
     }
     if bias:
-        params["bias"] = jax.random.uniform(
-            bkey, (out_ch,), dtype, minval=-bound, maxval=bound
-        )
+        params["bias"] = bkey.uniform((out_ch,), dtype, minval=-bound, maxval=bound)
     return params
 
 
@@ -150,7 +147,7 @@ def conv2d(params, x, *, stride=1, padding=1, policy: dtypes.Policy = dtypes.DEF
 
 
 def embedding_init(key, num_embeddings, dim, *, dtype=jnp.float32):
-    return {"weight": jax.random.normal(key, (num_embeddings, dim), dtype)}
+    return {"weight": prng.ensure(key).normal((num_embeddings, dim), dtype)}
 
 
 def embedding(params, ids, *, policy: dtypes.Policy = dtypes.DEFAULT):

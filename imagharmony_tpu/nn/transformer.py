@@ -19,10 +19,13 @@ from imagharmony_tpu.nn import attention as attn_lib
 from imagharmony_tpu.nn import layers
 
 
+from imagharmony_tpu.nn import prng
+
+
 def basic_transformer_block_init(
     key, dim, *, heads, head_dim, context_dim, with_ip, dtype=jnp.float32
 ):
-    k = jax.random.split(key, 6)
+    k = prng.split(key, 6)
     ff_inner = dim * 4
     return {
         "norm1": layers.layer_norm_init(dim, dtype=dtype),
@@ -101,7 +104,7 @@ def transformer_2d_init(
     dtype=jnp.float32,
 ):
     inner = heads * head_dim
-    k = jax.random.split(key, num_layers + 3)
+    k = prng.split(key, num_layers + 3)
     return {
         "norm": layers.group_norm_init(in_channels, dtype=dtype),
         "proj_in": layers.linear_init(k[0], in_channels, inner, dtype=dtype),

@@ -33,6 +33,18 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> M
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 
 
+def fit_data_mesh(batch_size: int, n_model: int = 1, devices=None) -> Mesh:
+    """Largest data axis that divides batch_size (a 2-sample debug batch on
+    an 8-device host should shard 2-way, not crash)."""
+    devices = devices if devices is not None else jax.devices()
+    avail = len(devices) // n_model
+    n_data = 1
+    for d in range(1, avail + 1):
+        if batch_size % d == 0:
+            n_data = d
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

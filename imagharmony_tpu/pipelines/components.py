@@ -65,7 +65,9 @@ def tiny_configs(vocab_size=1000, *, proj_kind="image_proj") -> ComponentConfigs
 
 
 def init_params(key, cfgs: ComponentConfigs, *, dtype=jnp.float32) -> Dict[str, Any]:
-    k = jax.random.split(key, 8)
+    from imagharmony_tpu.nn import prng
+
+    k = prng.split(key, 8)
     params = {
         "unet": unet.init(k[0], cfgs.unet, dtype=dtype),
         "vae": vae.init(k[1], cfgs.vae, dtype=dtype),

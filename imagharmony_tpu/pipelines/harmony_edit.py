@@ -240,6 +240,10 @@ class HarmonyPipeline:
         self.cfgs = cfgs
         self.tokenizers = tokenizers
         self.policy = policy
+        if backend is None:
+            # Pallas fused attention on TPU; XLA elsewhere (kernels check
+            # shapes and fall back themselves, this just sets the default).
+            backend = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
         self.backend = backend
 
     # -- constructors ------------------------------------------------------

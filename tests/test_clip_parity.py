@@ -45,7 +45,7 @@ def test_clip_text_tower_parity():
 
     import jax
 
-    template = jax.eval_shape(lambda: clip_text.init(jax.random.PRNGKey(0), cfg))
+    template = clip_text.init(0, cfg)
     params = hf_import.import_tree(template, _flat_numpy(hf), prefix="text_model.")
 
     ids = np.array(
@@ -90,7 +90,7 @@ def test_clip_text_with_projection_parity():
 
     import jax
 
-    template = jax.eval_shape(lambda: clip_text.init(jax.random.PRNGKey(0), cfg))
+    template = clip_text.init(0, cfg)
 
     def key_map(k):
         # text_projection sits outside the text_model. prefix in HF
@@ -134,7 +134,7 @@ def test_clip_vision_parity():
 
     import jax
 
-    template = jax.eval_shape(lambda: clip_vision.init(jax.random.PRNGKey(0), cfg))
+    template = clip_vision.init(0, cfg)
 
     def key_map(k):
         return k.replace("vision_model.visual_projection", "visual_projection")

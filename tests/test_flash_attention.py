@@ -1,0 +1,77 @@
+"""Pallas fused attention: interpret-mode parity on CPU + dispatch rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagharmony_tpu.kernels import flash_attention as fa
+from imagharmony_tpu.nn import attention as attn_lib
+
+
+@pytest.fixture()
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+
+
+def _qkv(b=1, h=2, sq=512, sk=512, d=64, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return (
+        jax.random.normal(ks[0], (b, h, sq, d), dtype),
+        jax.random.normal(ks[1], (b, h, sk, d), dtype),
+        jax.random.normal(ks[2], (b, h, sk, d), dtype),
+    )
+
+
+def test_parity_vs_xla(interpret_mode):
+    q, k, v = _qkv()
+    out = fa.flash_attention(q, k, v, scale=64**-0.5)
+    assert out is not None
+    ref = attn_lib.sdpa(q, k, v, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_parity_bf16(interpret_mode):
+    q, k, v = _qkv(dtype=jnp.bfloat16)
+    out = fa.flash_attention(q, k, v, scale=64**-0.5)
+    ref = attn_lib.sdpa(q, k, v, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_gradient_parity(interpret_mode):
+    q, k, v = _qkv(sq=256, sk=512)
+
+    def loss_p(q, k, v):
+        return (fa.flash_attention(q, k, v, scale=64**-0.5) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (attn_lib.sdpa(q, k, v, backend="xla") ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_dispatch_rules():
+    # tiny K (text/IP branches): must decline -> caller falls back to XLA
+    q, k, v = _qkv(sk=128)
+    assert fa.flash_attention(q, k, v, scale=0.125) is None
+    # non-multiple sequence: decline
+    q, k, v = _qkv(sq=300, sk=512)
+    assert fa.flash_attention(q, k, v, scale=0.125) is None
+    # CPU without interpret: decline (dispatch is platform-aware)
+    q, k, v = _qkv()
+    assert fa.flash_attention(q, k, v, scale=0.125) is None
+
+
+def test_sdpa_backend_pallas_falls_back(interpret_mode):
+    """sdpa(backend='pallas') must route through the kernel when eligible
+    and produce the same values."""
+    q, k, v = _qkv()
+    a = attn_lib.sdpa(q, k, v, backend="pallas")
+    b = attn_lib.sdpa(q, k, v, backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)

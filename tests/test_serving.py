@@ -1,0 +1,105 @@
+"""Serving: HTTP API end-to-end against the tiny pipeline."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from imagharmony_tpu.pipelines import HarmonyPipeline, serving
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    srv = serving.make_server(pipe, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.worker.running = False
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.server_address[1]}{path}"
+
+
+def _post(server, payload):
+    req = urllib.request.Request(
+        _url(server, "/edit"), data=json.dumps(payload).encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        assert json.loads(r.read()) == {"ok": True}
+
+
+def test_index_html(server):
+    with urllib.request.urlopen(_url(server, "/"), timeout=30) as r:
+        assert b"IMAGHarmony" in r.read()
+
+
+def test_edit_roundtrip(server):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = _post(
+        server,
+        {
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "prompt": "a dog",
+            "extra_text": "six dogs",
+            "steps": 2,
+            "height": 32,
+            "width": 32,
+            "seed": 1,
+        },
+    )
+    assert "image" in out
+    png = base64.b64decode(out["image"])
+    got = Image.open(io.BytesIO(png))
+    assert got.size == (32, 32)
+
+
+def test_edit_bad_payload(server):
+    req = urllib.request.Request(
+        _url(server, "/edit"), data=b"not json", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        assert e.code == 400
+    assert raised
+
+
+def test_concurrent_requests_batch(server):
+    """Two compatible requests in flight: both must complete."""
+    results = []
+
+    def go(seed):
+        results.append(
+            _post(
+                server,
+                {"prompt": "a dog", "extra_text": "six dogs", "steps": 2,
+                 "height": 32, "width": 32, "seed": seed},
+            )
+        )
+
+    ts = [threading.Thread(target=go, args=(s,)) for s in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert len(results) == 2
+    assert all("image" in r for r in results)

@@ -1,0 +1,109 @@
+"""Trainer end-to-end on the tiny bundle: smoke run, orbax resume, export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from imagharmony_tpu.io import checkpoints as ckpt_io
+from imagharmony_tpu.train import trainer
+
+
+def test_trainer_smoke_and_resume(tmp_path):
+    out = str(tmp_path / "run")
+    common = [
+        "--tiny",
+        "--synthetic_data", "6",
+        "--train_batch_size", "2",
+        "--resolution", "32",
+        "--save_steps", "2",
+        "--output_dir", out,
+        "--learning_rate", "1e-3",
+    ]
+    final = trainer.main(common + ["--max_steps", "2"])
+    assert final == 2
+    assert os.path.exists(os.path.join(out, "ip_adapter-2.bin"))
+    assert os.path.exists(os.path.join(out, "harmony_config.json"))
+    with open(os.path.join(out, "harmony_config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["fusion_method"] == "cross_attention"
+
+    # resume continues from step 2
+    final2 = trainer.main(common + ["--max_steps", "4", "--resume"])
+    assert final2 == 4
+    assert os.path.exists(os.path.join(out, "ip_adapter-4.bin"))
+
+    # exported checkpoint round-trips through the adapter loader
+    proj, ip, composed, ha_cfg = ckpt_io.load_adapter_checkpoint(
+        os.path.join(out, "ip_adapter-4.bin")
+    )
+    assert ha_cfg is not None
+    assert any(k.endswith("to_k_ip.weight") for k in ip)
+    assert any(k.startswith("fc1") for k in composed)
+
+
+def test_dataset_pipeline(tmp_path):
+    """HarmonyDataset on synthetic images + JSON records."""
+    from PIL import Image
+
+    from imagharmony_tpu.models import tokenizer as tok_lib
+    from imagharmony_tpu.train.dataset import HarmonyDataset
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(5):
+        name = f"{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, (80 + 7 * i, 64, 3), dtype=np.uint8)
+        ).save(root / name)
+        records.append({"image_file": name, "text": "a dog", "extra_text": "six dogs"})
+    jf = tmp_path / "train.json"
+    jf.write_text(json.dumps(records))
+
+    toy = tok_lib.build_toy_tokenizer()
+    toks = tok_lib.SDXLTokenizers(toy, toy)
+    ds = HarmonyDataset(str(jf), toks, size=32, clip_image_size=28,
+                        image_root_path=str(root), center_crop=False)
+    assert len(ds) == 5
+
+    batches = list(ds.batches(2, seed=0, epochs=1))
+    assert len(batches) == 2  # 5 records, drop remainder
+    b = batches[0]
+    assert b["images"].shape == (2, 32, 32, 3)
+    assert b["images"].min() >= -1.0 and b["images"].max() <= 1.0
+    assert b["clip_pixels"].shape == (2, 28, 28, 3)
+    assert b["ids_l"].shape == (2, 77)
+    assert b["original_size"].shape == (2, 2)
+    # crop coords recorded for SDXL micro-conditioning
+    assert (b["target_size"] == 32).all()
+
+
+def test_dataset_condition_dropout(tmp_path):
+    from PIL import Image
+
+    from imagharmony_tpu.models import tokenizer as tok_lib
+    from imagharmony_tpu.train.dataset import HarmonyDataset
+
+    root = tmp_path
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(root / "x.png")
+    jf = root / "j.json"
+    jf.write_text(json.dumps([{"image_file": "x.png", "text": "a dog", "extra_text": "six dogs"}]))
+    toy = tok_lib.build_toy_tokenizer()
+    toks = tok_lib.SDXLTokenizers(toy, toy)
+    ds = HarmonyDataset(str(jf), toks, size=32, clip_image_size=28,
+                        image_root_path=str(root),
+                        i_drop_rate=0.3, t_drop_rate=0.3, ti_drop_rate=0.3)
+    rng = np.random.default_rng(0)
+    drops, empties = 0, 0
+    empty_ids = toks(["" ])[0][0]
+    for _ in range(200):
+        s = ds.load_sample(0, rng)
+        drops += int(s["drop_image"])
+        empties += int((s["ids_l"] == empty_ids).all())
+    assert 60 < drops < 180        # ~30% image-drop + ~30% both
+    assert 30 < empties < 150      # ~30% text-drop + ~30% both
+    # extra_text never dropped (reference train.py:96-104)
+    assert not (ds.load_sample(0, rng)["extra_l"] == empty_ids).all()
