@@ -271,9 +271,14 @@ def _harmony_export_key(k: str) -> str:
 
 
 def _harmony_import_key(k: str) -> str:
-    return k.replace("in_proj_weight", "in_proj.weight").replace(
+    k = k.replace("in_proj_weight", "in_proj.weight").replace(
         "in_proj_bias", "in_proj.bias"
     )
+    # legacy Composed_Attention names its fusion module "cross_attention"
+    # (reference shared_models.py:90); map onto our uniform layout
+    if k.startswith("cross_attention."):
+        k = "fusion_text_image." + k[len("cross_attention."):]
+    return k
 
 
 def import_harmony(template, composed_flat):

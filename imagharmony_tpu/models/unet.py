@@ -54,9 +54,12 @@ class UNetConfig:
     # SDXL sets attention_head_dim=[5,10,20], which diffusers historically
     # interprets as the *number of heads*; head width is uniformly 64.
     num_attention_heads: Tuple[int, ...] = (5, 10, 20)
-    attention_head_dim: int = 64
+    # None -> head_dim = block_channels // heads (matches both SDXL and SD1.5)
+    attention_head_dim: int | None = None
     cross_attention_dim: int = 2048
     norm_num_groups: int = 32
+    # "text_time" (SDXL micro-conditioning) or None (SD1.5: no add-embeds)
+    addition_embed_type: str | None = "text_time"
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
     # Layers whose text cross-attention carries an *active* decoupled IP
@@ -67,12 +70,23 @@ class UNetConfig:
     ip_layers: Tuple[str, ...] = ("down_blocks.2.attentions.1",)
     num_ip_tokens: int = 4
 
+    @staticmethod
+    def ip_all_layers() -> Tuple[str, ...]:
+        """IP branch active on EVERY cross-attn layer — the vanilla
+        IP-Adapter behavior (reference ip_adapter_origin.py:110-118)."""
+        return ("",)
+
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
 
     def heads_for(self, block_idx: int) -> int:
         return self.num_attention_heads[block_idx]
+
+    def head_dim_for(self, block_idx: int) -> int:
+        if self.attention_head_dim is not None:
+            return self.attention_head_dim
+        return self.block_out_channels[block_idx] // self.num_attention_heads[block_idx]
 
     def is_ip_active(self, layer_name: str) -> bool:
         return any(t in layer_name for t in self.ip_layers)
@@ -90,6 +104,35 @@ def tiny_config(**overrides) -> UNetConfig:
         norm_num_groups=8,
         addition_time_embed_dim=16,
         projection_class_embeddings_input_dim=16 * 6 + 32,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+def sd15_config(**overrides) -> UNetConfig:
+    """Stable Diffusion 1.5 UNet (the reference's non-XL IPAdapter family,
+    ip_adapter/ip_adapter.py:69-245 over StableDiffusionPipeline)."""
+    base = dict(
+        sample_size=64,
+        block_out_channels=(320, 640, 1280, 1280),
+        down_block_types=(
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        up_block_types=(
+            "UpBlock2D",
+            "CrossAttnUpBlock2D",
+            "CrossAttnUpBlock2D",
+            "CrossAttnUpBlock2D",
+        ),
+        transformer_layers_per_block=(1, 1, 1, 1),
+        num_attention_heads=(8, 8, 8, 8),
+        attention_head_dim=None,  # 40/80/160 per block
+        cross_attention_dim=768,
+        addition_embed_type=None,
+        ip_layers=UNetConfig.ip_all_layers(),
     )
     base.update(overrides)
     return UNetConfig(**base)
@@ -151,12 +194,18 @@ def init(key, cfg: UNetConfig, *, dtype=jnp.float32):
             "linear_1": layers.linear_init(next(k), ch[0], temb_dim, dtype=dtype),
             "linear_2": layers.linear_init(next(k), temb_dim, temb_dim, dtype=dtype),
         },
-        "add_embedding": {
-            "linear_1": layers.linear_init(
-                next(k), cfg.projection_class_embeddings_input_dim, temb_dim, dtype=dtype
-            ),
-            "linear_2": layers.linear_init(next(k), temb_dim, temb_dim, dtype=dtype),
-        },
+        **(
+            {
+                "add_embedding": {
+                    "linear_1": layers.linear_init(
+                        next(k), cfg.projection_class_embeddings_input_dim, temb_dim, dtype=dtype
+                    ),
+                    "linear_2": layers.linear_init(next(k), temb_dim, temb_dim, dtype=dtype),
+                }
+            }
+            if cfg.addition_embed_type == "text_time"
+            else {}
+        ),
         "down_blocks": [],
         "up_blocks": [],
         "conv_norm_out": layers.group_norm_init(ch[0], dtype=dtype),
@@ -169,7 +218,7 @@ def init(key, cfg: UNetConfig, *, dtype=jnp.float32):
             ch[block_idx],
             num_layers=cfg.transformer_layers_per_block[block_idx],
             heads=cfg.heads_for(block_idx),
-            head_dim=cfg.attention_head_dim,
+            head_dim=cfg.head_dim_for(block_idx),
             context_dim=cfg.cross_attention_dim,
             # Params exist on every cross-attn layer (checkpoint parity);
             # activity is decided at apply time by cfg.is_ip_active.
@@ -225,7 +274,7 @@ def init(key, cfg: UNetConfig, *, dtype=jnp.float32):
                         out_c,
                         num_layers=cfg.transformer_layers_per_block[block_idx],
                         heads=cfg.heads_for(block_idx),
-                        head_dim=cfg.attention_head_dim,
+                        head_dim=cfg.head_dim_for(block_idx),
                         context_dim=cfg.cross_attention_dim,
                         with_ip=True,
                         dtype=dtype,
@@ -253,8 +302,8 @@ def apply(
     timesteps,
     encoder_hidden_states,
     *,
-    pooled_text_embeds,
-    time_ids,
+    pooled_text_embeds=None,
+    time_ids=None,
     ip_tokens=None,
     ip_scale=1.0,
     backend=None,
@@ -285,15 +334,16 @@ def apply(
     temb = layers.linear(params["time_embedding"]["linear_1"], t_emb, policy=policy)
     temb = layers.linear(params["time_embedding"]["linear_2"], jax.nn.silu(temb), policy=policy)
 
-    tid_emb = layers.timestep_embedding(
-        time_ids.reshape(-1), cfg.addition_time_embed_dim
-    ).reshape(ts.shape[0], -1)
-    add_embeds = jnp.concatenate(
-        [pooled_text_embeds.astype(jnp.float32), tid_emb], axis=-1
-    )
-    aug = layers.linear(params["add_embedding"]["linear_1"], add_embeds, policy=policy)
-    aug = layers.linear(params["add_embedding"]["linear_2"], jax.nn.silu(aug), policy=policy)
-    temb = temb + aug
+    if cfg.addition_embed_type == "text_time":
+        tid_emb = layers.timestep_embedding(
+            time_ids.reshape(-1), cfg.addition_time_embed_dim
+        ).reshape(ts.shape[0], -1)
+        add_embeds = jnp.concatenate(
+            [pooled_text_embeds.astype(jnp.float32), tid_emb], axis=-1
+        )
+        aug = layers.linear(params["add_embedding"]["linear_1"], add_embeds, policy=policy)
+        aug = layers.linear(params["add_embedding"]["linear_2"], jax.nn.silu(aug), policy=policy)
+        temb = temb + aug
 
     ctx = policy.cast(encoder_hidden_states)
     ip = policy.cast(ip_tokens) if ip_tokens is not None else None

@@ -53,6 +53,39 @@ class EditOptions:
     control_guidance_end: float = 1.0
     use_harmony: bool = True
     tile_vae: bool = False
+    # CFG rescaling per arXiv 2305.08891 §3.4 (reference custom_pipelines.py:352-354)
+    guidance_rescale: float = 0.0
+    # stop at a fraction of the schedule (mixture-of-denoisers handoff,
+    # reference custom_pipelines.py:308-316)
+    denoising_end: Optional[float] = None
+    # SDXL micro-conditioning overrides ((h, w) / (top, left) tuples;
+    # None -> output size / zero crop; reference custom_pipelines.py:48-53)
+    original_size: Optional[tuple] = None
+    crops_coords_top_left: tuple = (0, 0)
+    target_size: Optional[tuple] = None
+    negative_original_size: Optional[tuple] = None
+    negative_crops_coords_top_left: Optional[tuple] = None
+    negative_target_size: Optional[tuple] = None
+
+    def time_ids(self, negative=False):
+        osz = self.original_size or (self.height, self.width)
+        tsz = self.target_size or (self.height, self.width)
+        crop = self.crops_coords_top_left
+        if negative:
+            osz = self.negative_original_size or osz
+            tsz = self.negative_target_size or tsz
+            crop = self.negative_crops_coords_top_left or crop
+        return [float(osz[0]), float(osz[1]), float(crop[0]), float(crop[1]),
+                float(tsz[0]), float(tsz[1])]
+
+
+def rescale_noise_cfg(eps_cfg, eps_text, rescale):
+    """arXiv 2305.08891 eq. 16: rein in CFG-induced overexposure."""
+    axes = tuple(range(1, eps_text.ndim))
+    std_text = jnp.std(eps_text.astype(jnp.float32), axis=axes, keepdims=True)
+    std_cfg = jnp.std(eps_cfg.astype(jnp.float32), axis=axes, keepdims=True)
+    rescaled = eps_cfg * (std_text / jnp.maximum(std_cfg, 1e-8)).astype(eps_cfg.dtype)
+    return rescale * rescaled + (1.0 - rescale) * eps_cfg
 
 
 def ip_scale_schedule(opts: EditOptions) -> np.ndarray:
@@ -118,6 +151,7 @@ def denoise(
     ip_scales,
     *,
     guidance_scale,
+    guidance_rescale=0.0,
     policy,
     backend=None,
 ):
@@ -146,6 +180,8 @@ def denoise(
         )
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        if guidance_rescale > 0.0:
+            eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
         lat = sched.step_c(kind, sigma, sigma_next, eps_g, lat)
         return lat, ()
 
@@ -169,8 +205,10 @@ def _edit_jit(
     policy: dtypes.Policy = dtypes.DEFAULT,
     backend: Optional[str] = None,
 ):
-    schedule = sched.make(opts.scheduler, opts.num_inference_steps)
-    ip_scales = ip_scale_schedule(opts)
+    schedule = sched.make(
+        opts.scheduler, opts.num_inference_steps, denoising_end=opts.denoising_end
+    )
+    ip_scales = ip_scale_schedule(opts)[: schedule.num_steps]
 
     # --- text conditioning: [neg | pos] rows in one encoder batch ---
     ids_l = jnp.concatenate([ids["neg_l"], ids["pos_l"]], axis=0)
@@ -195,17 +233,21 @@ def _edit_jit(
     ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
 
     # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
-    tid = jnp.array(
-        [[opts.height, opts.width, 0, 0, opts.height, opts.width]], jnp.float32
-    )
-    time_ids = jnp.concatenate([rep(tid), rep(tid)], axis=0)
+    tid_pos = jnp.array([opts.time_ids()], jnp.float32)
+    tid_neg = jnp.array([opts.time_ids(negative=True)], jnp.float32)
+    time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
 
     latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
     latents = denoise(
         params["unet"], cfgs.unet, latents, context2, pooled2, time_ids, ip2,
         schedule, ip_scales, guidance_scale=opts.guidance_scale,
+        guidance_rescale=opts.guidance_rescale,
         policy=policy, backend=backend,
     )
+
+    if opts.denoising_end is not None:
+        # mixture-of-denoisers handoff: return latents for a refiner stage
+        return latents
 
     vae_policy = dtypes.Policy(compute_dtype=jnp.float32)
     if opts.tile_vae:
@@ -292,6 +334,14 @@ class HarmonyPipeline:
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 1.0,
         tile_vae: bool = False,
+        guidance_rescale: float = 0.0,
+        denoising_end: Optional[float] = None,
+        original_size=None,
+        crops_coords_top_left=(0, 0),
+        target_size=None,
+        negative_original_size=None,
+        negative_crops_coords_top_left=None,
+        negative_target_size=None,
         output_type: str = "np",
     ):
         prompt = prompt or DEFAULT_PROMPT
@@ -320,6 +370,17 @@ class HarmonyPipeline:
             control_guidance_end=control_guidance_end,
             use_harmony=extra_text is not None,
             tile_vae=tile_vae,
+            guidance_rescale=guidance_rescale,
+            denoising_end=denoising_end,
+            original_size=tuple(original_size) if original_size else None,
+            crops_coords_top_left=tuple(crops_coords_top_left),
+            target_size=tuple(target_size) if target_size else None,
+            negative_original_size=tuple(negative_original_size)
+            if negative_original_size else None,
+            negative_crops_coords_top_left=tuple(negative_crops_coords_top_left)
+            if negative_crops_coords_top_left else None,
+            negative_target_size=tuple(negative_target_size)
+            if negative_target_size else None,
         )
 
         down = self.cfgs.vae.downscale
@@ -332,7 +393,7 @@ class HarmonyPipeline:
             self.params, self.cfgs, opts, ids, pixel_values, noise,
             num_samples=num_samples, policy=self.policy, backend=self.backend,
         )
-        if output_type == "latent":
+        if output_type == "latent" or denoising_end is not None:
             return images
         arr = to_uint8(images)
         if output_type == "pil":

@@ -206,9 +206,31 @@ def scan_constants(schedule: Schedule):
     )
 
 
-def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> Schedule:
+def steps_for_denoising_end(num_steps, denoising_end, cfg: NoiseScheduleConfig = NoiseScheduleConfig()):
+    """How many of num_steps to run when stopping at ``denoising_end`` of
+    the noise schedule (reference custom_pipelines.py:308-316)."""
+    ts = _spaced_timesteps(num_steps, cfg)
+    cutoff = round(cfg.num_train_timesteps - denoising_end * cfg.num_train_timesteps)
+    return int((ts >= cutoff).sum())
+
+
+def _truncate(schedule: Schedule, n: int) -> Schedule:
+    return Schedule(
+        kind=schedule.kind,
+        timesteps=schedule.timesteps[:n],
+        sigmas=schedule.sigmas[: n + 1],
+        init_noise_sigma=schedule.init_noise_sigma,
+    )
+
+
+def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConfig(),
+         *, denoising_end=None) -> Schedule:
     if kind == "euler":
-        return euler_schedule(num_steps, cfg)
-    if kind == "ddim":
-        return ddim_schedule(num_steps, cfg)
-    raise ValueError(f"unknown scheduler kind {kind!r}")
+        s = euler_schedule(num_steps, cfg)
+    elif kind == "ddim":
+        s = ddim_schedule(num_steps, cfg)
+    else:
+        raise ValueError(f"unknown scheduler kind {kind!r}")
+    if denoising_end is not None and 0.0 < denoising_end < 1.0:
+        s = _truncate(s, steps_for_denoising_end(num_steps, denoising_end, cfg))
+    return s

@@ -1,0 +1,136 @@
+"""Pipeline feature coverage: guidance rescale, denoising_end handoff,
+micro-conditioning overrides, all-layers IP mode, SD1.5 UNet family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.models import unet
+from imagharmony_tpu.pipelines import HarmonyPipeline
+from imagharmony_tpu.pipelines.harmony_edit import rescale_noise_cfg
+from imagharmony_tpu.schedulers import diffusion as sched
+
+FP32 = dtypes.FP32
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return HarmonyPipeline.random_tiny(seed=0)
+
+
+@pytest.fixture(scope="module")
+def ref_image():
+    return np.random.default_rng(0).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+
+
+def _gen(pipe, ref_image, **kw):
+    base = dict(prompt="a dog", extra_text="six dogs", num_inference_steps=2,
+                height=32, width=32, seed=7, output_type="np")
+    base.update(kw)
+    return pipe.generate(pil_image=ref_image, **base)
+
+
+def test_guidance_rescale_changes_output(pipe, ref_image):
+    a = _gen(pipe, ref_image, guidance_rescale=0.0)
+    b = _gen(pipe, ref_image, guidance_rescale=0.7)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
+def test_rescale_noise_cfg_math():
+    rng = np.random.default_rng(1)
+    eps_c = jnp.asarray(rng.normal(size=(2, 4, 4, 4)).astype(np.float32))
+    eps_g = eps_c * 3.0  # CFG inflated std
+    out = rescale_noise_cfg(eps_g, eps_c, 1.0)
+    # full rescale restores the text-branch std
+    np.testing.assert_allclose(
+        np.std(np.asarray(out), axis=(1, 2, 3)),
+        np.std(np.asarray(eps_c), axis=(1, 2, 3)),
+        rtol=1e-4,
+    )
+    # zero rescale is identity
+    np.testing.assert_allclose(np.asarray(rescale_noise_cfg(eps_g, eps_c, 0.0)),
+                               np.asarray(eps_g), rtol=1e-6)
+
+
+def test_denoising_end_returns_latents(pipe, ref_image):
+    lat = _gen(pipe, ref_image, num_inference_steps=4, denoising_end=0.5)
+    # latent handoff for a refiner stage: (B, h, w, 4) floats
+    assert lat.shape[-1] == 4
+    assert lat.dtype != np.uint8
+
+
+def test_denoising_end_step_count():
+    assert sched.steps_for_denoising_end(30, 0.8) < 30
+    s = sched.make("euler", 30, denoising_end=0.8)
+    assert s.num_steps == sched.steps_for_denoising_end(30, 0.8)
+    assert s.sigmas.shape[0] == s.num_steps + 1
+
+
+def test_micro_conditioning_changes_output(pipe, ref_image):
+    a = _gen(pipe, ref_image)
+    b = _gen(pipe, ref_image, original_size=(2048, 2048), crops_coords_top_left=(7, 3))
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
+def test_ip_all_layers_mode():
+    """ip_layers=ip_all_layers() activates the decoupled branch everywhere —
+    the vanilla IP-Adapter (reference ip_adapter_origin.py:110-118)."""
+    cfg_one = unet.tiny_config()
+    cfg_all = unet.tiny_config(ip_layers=unet.UNetConfig.ip_all_layers())
+    params = unet.init(0, cfg_one)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    sample = jax.random.normal(ks[0], (1, 16, 16, 4))
+    ctx = jax.random.normal(ks[1], (1, 8, cfg_one.cross_attention_dim))
+    pooled = jax.random.normal(ks[2], (1, 32))
+    tids = jnp.array([[16.0, 16, 0, 0, 16, 16]])
+    ip = jax.random.normal(ks[3], (1, 4, cfg_one.cross_attention_dim))
+
+    def run(cfg):
+        return np.asarray(unet.apply(
+            params, cfg, sample, jnp.array([9]), ctx, pooled_text_embeds=pooled,
+            time_ids=tids, ip_tokens=ip, policy=FP32))
+
+    assert np.abs(run(cfg_one) - run(cfg_all)).max() > 1e-6
+
+
+def test_sd15_unet_forward():
+    """SD1.5 family: 4 blocks, 768-d context, no add-embeds."""
+    cfg = unet.sd15_config(
+        block_out_channels=(32, 64, 128, 128),
+        cross_attention_dim=48,
+        num_attention_heads=(4, 4, 4, 4),
+        norm_num_groups=8,
+    )
+    params = unet.init(0, cfg)
+    assert "add_embedding" not in params
+    sample = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 48))
+    out = unet.apply(params, cfg, sample, jnp.array([100]), ctx, policy=FP32)
+    assert out.shape == sample.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    # with IP tokens on all layers (SD1.5 vanilla IP-Adapter)
+    ip = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 48))
+    out_ip = unet.apply(params, cfg, sample, jnp.array([100]), ctx,
+                        ip_tokens=ip, policy=FP32)
+    assert np.abs(np.asarray(out_ip) - np.asarray(out)).max() > 1e-6
+
+
+def test_legacy_composed_key_import():
+    from imagharmony_tpu.adapters import harmony as harmony_lib
+    from imagharmony_tpu.io import checkpoints, hf_import
+
+    cfg = harmony_lib.legacy_composed_config(
+        image_hidden_size=16, text_context_dim=24, inter_dim=32,
+        reshape_blocks=4, cross_heads=2, cross_value_dim=4,
+    )
+    params = harmony_lib.init(0, cfg)
+    flat = hf_import.export_tree(params)
+    # simulate the legacy naming (shared_models.py:90 "cross_attention.")
+    legacy = {k.replace("fusion_text_image.", "cross_attention."): v for k, v in flat.items()}
+    back = checkpoints.import_harmony(params, legacy)
+    np.testing.assert_allclose(
+        np.asarray(back["fusion_text_image"]["to_q"]["weight"]),
+        np.asarray(params["fusion_text_image"]["to_q"]["weight"]), rtol=1e-6)
