@@ -66,8 +66,8 @@ def main():
     dtype = jnp.bfloat16
     policy = dtypes.Policy(param_dtype=dtype, compute_dtype=dtype)
     key = jax.random.PRNGKey(0)
-    uparams = unet.init(key, ucfg, dtype=dtype)
-    vparams = vae.init(jax.random.PRNGKey(1), vcfg, dtype=dtype)
+    uparams = jax.device_put(unet.init(key, ucfg, dtype=dtype))
+    vparams = jax.device_put(vae.init(jax.random.PRNGKey(1), vcfg, dtype=dtype))
 
     lat = res // vcfg.downscale
     b = 1  # one edit (CFG pair packed inside denoise)

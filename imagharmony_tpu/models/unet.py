@@ -306,6 +306,8 @@ def apply(
     time_ids=None,
     ip_tokens=None,
     ip_scale=1.0,
+    down_block_additional_residuals=None,
+    mid_block_additional_residual=None,
     backend=None,
     policy: dtypes.Policy = dtypes.DEFAULT,
     collect_ip_probs=None,
@@ -377,11 +379,17 @@ def apply(
             h = downsample(block["downsamplers"][0], h, policy=policy)
             res_stack.append(h)
 
+    # ControlNet residuals add to the saved skip connections only
+    if down_block_additional_residuals is not None:
+        res_stack = [s + r for s, r in zip(res_stack, down_block_additional_residuals)]
+
     # --- mid ---
     mid = params["mid_block"]
     h = resnet_block(mid["resnets"][0], h, temb, num_groups=g, policy=policy)
     h = run_attn(mid["attentions"][0], h, "mid_block.attentions.0", len(cfg.block_out_channels) - 1)
     h = resnet_block(mid["resnets"][1], h, temb, num_groups=g, policy=policy)
+    if mid_block_additional_residual is not None:
+        h = h + mid_block_additional_residual
 
     # --- up ---
     for i, block in enumerate(params["up_blocks"]):

@@ -39,12 +39,17 @@ class Key:
     def normal(self, shape, dtype=np.float32, *, stddev=1.0):
         if self.abstract:
             return np.broadcast_to(np.zeros((), dtype), shape)
-        return (self.rng.standard_normal(shape) * stddev).astype(dtype)
+        # sample in float32 natively — float64 doubles memory traffic and
+        # costs minutes at SDXL scale (2.6B params)
+        x = self.rng.standard_normal(shape, dtype=np.float32) * np.float32(stddev)
+        return x if np.dtype(dtype) == np.float32 else x.astype(dtype)
 
     def uniform(self, shape, dtype=np.float32, *, minval=0.0, maxval=1.0):
         if self.abstract:
             return np.broadcast_to(np.zeros((), dtype), shape)
-        return self.rng.uniform(minval, maxval, size=shape).astype(dtype)
+        x = self.rng.random(shape, dtype=np.float32)
+        x = x * np.float32(maxval - minval) + np.float32(minval)
+        return x if np.dtype(dtype) == np.float32 else x.astype(dtype)
 
 
 def ensure(key) -> Key:

@@ -278,7 +278,10 @@ class HarmonyPipeline:
 
     def __init__(self, params, cfgs: comp.ComponentConfigs, tokenizers=None, *,
                  policy: dtypes.Policy = dtypes.DEFAULT, backend: Optional[str] = None):
-        self.params = params
+        # pin params to device once — host (numpy) param trees would
+        # otherwise re-transfer on every jitted call (0.24 GB/s through a
+        # tunneled TPU makes that catastrophic)
+        self.params = jax.device_put(params)
         self.cfgs = cfgs
         self.tokenizers = tokenizers
         self.policy = policy
