@@ -249,7 +249,10 @@ def _edit_jit(
         # mixture-of-denoisers handoff: return latents for a refiner stage
         return latents
 
-    vae_policy = dtypes.Policy(compute_dtype=jnp.float32)
+    # bf16 VAE decode on TPU: bf16 keeps fp32 exponent range, so the fp16
+    # overflow the reference upcasts around (custom_pipelines.py:365-377)
+    # cannot happen; fp32 stays available via policy for parity testing.
+    vae_policy = policy if policy.compute_dtype == jnp.bfloat16 else dtypes.Policy(compute_dtype=jnp.float32)
     if opts.tile_vae:
         images = vae.decode_tiled(params["vae"], cfgs.vae, latents, policy=vae_policy)
     else:

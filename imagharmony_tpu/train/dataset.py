@@ -27,6 +27,7 @@ import threading
 import numpy as np
 from PIL import Image
 
+from imagharmony_tpu import native
 from imagharmony_tpu.models import clip_vision
 
 
@@ -68,15 +69,18 @@ class HarmonyDataset:
         # shortest-edge resize then crop to size²
         short = min(ow, oh)
         nw, nh = round(ow * self.size / short), round(oh * self.size / short)
-        img_r = img.resize((nw, nh), Image.BILINEAR)
         dh, dw = nh - self.size, nw - self.size
         if self.center_crop:
             top, left = dh // 2, dw // 2
         else:
             top = int(rng.integers(0, dh + 1)) if dh > 0 else 0
             left = int(rng.integers(0, dw + 1)) if dw > 0 else 0
-        img_c = img_r.crop((left, top, left + self.size, top + self.size))
-        pixels = np.asarray(img_c, np.float32) / 127.5 - 1.0
+        # fused native resize+crop+normalize (csrc/image_ops.cpp); the
+        # helper falls back to the equivalent PIL path without a toolchain
+        pixels = native.batch_preprocess(
+            [np.asarray(img, np.uint8)], self.size,
+            tops=[top], lefts=[left], mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+        )[0]
 
         clip_pixels = clip_vision.preprocess_numpy(img, image_size=self.clip_image_size)[0]
 
