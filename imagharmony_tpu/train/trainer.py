@@ -158,6 +158,8 @@ def main(argv=None):
         print(f"resumed from step {start_step}")
     with open(os.path.join(args.output_dir, "harmony_config.json"), "w") as f:
         json.dump(cfgs.harmony.to_dict(), f, indent=2)
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+    metrics_log = open(metrics_path, "a")
 
     # -- data ------------------------------------------------------------
     if args.synthetic_data:
@@ -198,10 +200,19 @@ def main(argv=None):
             state, metrics = step_fn(state, frozen_r, batch, sub)
             global_step += 1
             loss = float(metrics["loss"])
+            step_time = time.perf_counter() - t_begin
             print(
                 f"step {global_step}, data_time: {data_time:.3f}, "
-                f"time: {time.perf_counter() - t_begin:.3f}, step_loss: {loss:.5f}"
+                f"time: {step_time:.3f}, step_loss: {loss:.5f}"
             )
+            metrics_log.write(json.dumps({
+                "step": global_step, "loss": loss,
+                "grad_norm": float(metrics["grad_norm"]),
+                "step_time_s": round(step_time, 4),
+                "data_time_s": round(data_time, 4),
+                "wall": time.time(),
+            }) + "\n")
+            metrics_log.flush()
             t_begin = time.perf_counter()
 
             if global_step % args.save_steps == 0 or (
