@@ -211,11 +211,13 @@ def _edit_jit(
     ip_scales = ip_scale_schedule(opts)[: schedule.num_steps]
 
     # --- text conditioning: [neg | pos] rows in one encoder batch ---
+    # B independent requests are supported: every ids entry is (B, 77).
+    breq = ids["pos_l"].shape[0]
     ids_l = jnp.concatenate([ids["neg_l"], ids["pos_l"]], axis=0)
     ids_g = jnp.concatenate([ids["neg_g"], ids["pos_g"]], axis=0)
     context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy)
-    neg_ctx, pos_ctx = context[:1], context[1:2]
-    neg_pooled, pos_pooled = pooled[:1], pooled[1:2]
+    neg_ctx, pos_ctx = context[:breq], context[breq:]
+    neg_pooled, pos_pooled = pooled[:breq], pooled[breq:]
 
     extra_ctx = None
     if opts.use_harmony and "extra_l" in ids:
@@ -233,8 +235,8 @@ def _edit_jit(
     ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
 
     # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
-    tid_pos = jnp.array([opts.time_ids()], jnp.float32)
-    tid_neg = jnp.array([opts.time_ids(negative=True)], jnp.float32)
+    tid_pos = jnp.tile(jnp.array([opts.time_ids()], jnp.float32), (breq, 1))
+    tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
     time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
 
     latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
@@ -411,3 +413,83 @@ class HarmonyPipeline:
     # convenience alias matching the task phrasing
     def edit(self, image, prompt, extra_text=None, **kw):
         return self.generate(pil_image=image, prompt=prompt, extra_text=extra_text, **kw)
+
+    def generate_batch(
+        self,
+        images,
+        prompts,
+        *,
+        extra_texts=None,
+        negative_prompts=None,
+        seeds=None,
+        output_type="np",
+        **shared_kw,
+    ):
+        """Pack B independent edit requests into ONE device program.
+
+        All static options (size/steps/scheduler/guidance) are shared; each
+        request contributes its own image, prompt, extra_text and seed row.
+        This is the serving fast path: the CFG-packed UNet batch becomes
+        2B and the per-request host/dispatch overhead is paid once.
+        """
+        b = len(images)
+        prompts = [p or DEFAULT_PROMPT for p in prompts]
+        negative_prompts = [
+            n or DEFAULT_NEGATIVE for n in (negative_prompts or [None] * b)
+        ]
+        if extra_texts is None:
+            extra_texts = [None] * b
+        use_extra = all(e is not None for e in extra_texts)
+        seeds = seeds or list(range(b))
+
+        pixel_values = jnp.asarray(
+            np.concatenate(
+                [
+                    clip_vision.preprocess_numpy(im, image_size=self.cfgs.vision.image_size)
+                    for im in images
+                ]
+            )
+        )
+
+        def tok_rows(texts):
+            l = np.concatenate([np.asarray(self._tokenize(t)[0]) for t in texts])
+            g = np.concatenate([np.asarray(self._tokenize(t)[1]) for t in texts])
+            return jnp.asarray(l), jnp.asarray(g)
+
+        ids = {}
+        ids["pos_l"], ids["pos_g"] = tok_rows(prompts)
+        ids["neg_l"], ids["neg_g"] = tok_rows(negative_prompts)
+        if use_extra:
+            ids["extra_l"], ids["extra_g"] = tok_rows(extra_texts)
+
+        height = shared_kw.pop("height", 1024)
+        width = shared_kw.pop("width", 1024)
+        opts = EditOptions(
+            height=height,
+            width=width,
+            num_inference_steps=shared_kw.pop("num_inference_steps", 30),
+            scheduler=shared_kw.pop("scheduler", "euler"),
+            guidance_scale=shared_kw.pop("guidance_scale", 5.0),
+            ip_scale=shared_kw.pop("scale", 1.0),
+            use_harmony=use_extra,
+            **shared_kw,
+        )
+        down = self.cfgs.vae.downscale
+        noise = jnp.concatenate(
+            [
+                jax.random.normal(
+                    jax.random.PRNGKey(int(s)), (1, height // down, width // down, 4), jnp.float32
+                )
+                for s in seeds
+            ]
+        )
+        images_out = _edit_jit(
+            self.params, self.cfgs, opts, ids, pixel_values, noise,
+            num_samples=1, policy=self.policy, backend=self.backend,
+        )
+        arr = to_uint8(images_out)
+        if output_type == "pil":
+            from PIL import Image
+
+            return [Image.fromarray(a) for a in arr]
+        return arr

@@ -116,13 +116,64 @@ class BatchingWorker(threading.Thread):
             self._run_group(group)
 
     def _run_group(self, group):
-        # Round 1: per-request execution inside the group (correct, simple);
-        # shared-signature packing onto one batch axis is the round-2 step.
+        if len(group) > 1:
+            try:
+                self._run_packed(group)
+                return
+            except Exception:
+                pass  # fall back to per-request on any packing failure
         for req in group:
             try:
                 req.result = self._run_one(req.payload)
             except Exception as e:  # surfaces to the HTTP client
                 req.error = f"{type(e).__name__}: {e}"
+            req.event.set()
+
+    def _run_packed(self, group):
+        """Pack compatible requests into ONE device program
+        (HarmonyPipeline.generate_batch): 2B CFG rows, one dispatch."""
+        import base64 as b64mod
+        import io as iomod
+
+        from PIL import Image
+
+        t0 = time.time()
+        payloads = [r.payload for r in group]
+        imgs = []
+        for p in payloads:
+            if p.get("image"):
+                imgs.append(Image.open(iomod.BytesIO(base64.b64decode(p["image"]))))
+            else:
+                imgs.append(Image.fromarray(
+                    np.random.default_rng(int(p.get("seed", 0))).integers(
+                        0, 255, (64, 64, 3), dtype=np.uint8)))
+        first = payloads[0]
+        extra_texts = [p.get("extra_text") or None for p in payloads]
+        if any(e is None for e in extra_texts) and any(e is not None for e in extra_texts):
+            raise ValueError("mixed extra_text presence; fall back")
+        outs = self.pipe.generate_batch(
+            imgs,
+            [p.get("prompt") or None for p in payloads],
+            extra_texts=extra_texts if extra_texts[0] is not None else None,
+            negative_prompts=[p.get("negative_prompt") or None for p in payloads],
+            seeds=[int(p.get("seed", 42)) for p in payloads],
+            num_inference_steps=int(first.get("steps", 30)),
+            guidance_scale=float(first.get("guidance_scale", 5.0)),
+            scale=float(first.get("scale", 1.0)),
+            height=int(first.get("height", 1024)),
+            width=int(first.get("width", 1024)),
+            scheduler=str(first.get("scheduler", "euler")),
+            output_type="pil",
+        )
+        dt = time.time() - t0
+        for req, im in zip(group, outs):
+            buf = iomod.BytesIO()
+            im.save(buf, format="PNG")
+            req.result = {
+                "image": b64mod.b64encode(buf.getvalue()).decode(),
+                "seconds": dt,
+                "batched": len(group),
+            }
             req.event.set()
 
     def _run_one(self, p):
