@@ -95,13 +95,17 @@ def main():
     out.block_until_ready()
     compile_s = time.time() - t0
 
-    # timed runs
+    # timed runs (per-call latencies -> p50 as BASELINE.json asks)
     reps = 3 if size == "full" else 2
-    t0 = time.time()
+    lats = []
     for _ in range(reps):
+        t0 = time.time()
         out = edit_core(uparams, vparams, noise, context, pooled, time_ids, ip_tokens)
-    out.block_until_ready()
-    per_image = (time.time() - t0) / reps / b
+        out.block_until_ready()
+        lats.append(time.time() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    per_image = sum(lats) / len(lats) / b
     ips = 1.0 / per_image
 
     a100_baseline = 0.40  # images/s, 30-step 1024^2 SDXL on A100 (see docstring)
@@ -110,6 +114,7 @@ def main():
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / a100_baseline, 3),
+        "p50_latency_s": round(p50, 3),
     }
     print(json.dumps(record))
     print(
