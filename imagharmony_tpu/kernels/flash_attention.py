@@ -142,3 +142,9 @@ def flash_attention(q, k, v, *, scale):
     if not _use_pallas(q, k):
         return None
     return _flash(q, k, v, scale)
+
+
+# Note: a transpose-free (B, S, H, D) kernel was prototyped and reverted —
+# Mosaic requires the block's minor two dims to be (8, 128)-divisible or
+# full-size, and a single head slice (1, 64) in that layout is neither.
+# The (B, H, S, D) relayout the callers do is the supported shape.

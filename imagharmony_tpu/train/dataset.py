@@ -40,6 +40,7 @@ class HarmonyDataset:
         size=1024,
         clip_image_size=224,
         center_crop=True,
+        max_token_length=None,
         i_drop_rate=0.05,
         t_drop_rate=0.05,
         ti_drop_rate=0.05,
@@ -50,6 +51,7 @@ class HarmonyDataset:
         self.tokenizers = tokenizers
         self.size = size
         self.clip_image_size = clip_image_size
+        self.max_token_length = max_token_length
         self.center_crop = center_crop
         self.i_drop_rate = i_drop_rate
         self.t_drop_rate = t_drop_rate
@@ -96,6 +98,10 @@ class HarmonyDataset:
 
         ids_l, ids_g = self.tokenizers(text)
         extra_l, extra_g = self.tokenizers(extra)
+        if self.max_token_length:
+            m = self.max_token_length
+            ids_l, ids_g = ids_l[:, :m], ids_g[:, :m]
+            extra_l, extra_g = extra_l[:, :m], extra_g[:, :m]
         return {
             "pixels": pixels,
             "clip_pixels": clip_pixels,

@@ -78,12 +78,24 @@ def loss_fn(
     r_noise, r_t, r_lat, r_off = jax.random.split(rng, 4)
     acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
 
-    # --- frozen VAE encode (fp32 for stability, reference train.py:628) ---
-    latents = sg(
-        vae.encode(
-            params["vae"], cfgs.vae, batch["images"], r_lat, policy=dtypes.FP32
-        )
-    ).astype(policy.compute_dtype)
+    cached = "context" in batch  # precomputed-encoder batches (train/cache.py)
+    if cached and cfgs.proj_kind != "image_proj":
+        raise ValueError("cached-encoder training supports proj_kind='image_proj' only")
+
+    if cached:
+        # sample the VAE posterior from cached moments (same distribution
+        # as live encode; the frozen towers need not be resident at all)
+        mean = batch["latent_mean"]
+        std = jnp.exp(0.5 * batch["latent_logvar"])
+        latents = mean + std * jax.random.normal(r_lat, mean.shape, mean.dtype)
+        latents = (latents * cfgs.vae.scaling_factor).astype(policy.compute_dtype)
+    else:
+        # --- frozen VAE encode (fp32 for stability, reference train.py:628) ---
+        latents = sg(
+            vae.encode(
+                params["vae"], cfgs.vae, batch["images"], r_lat, policy=dtypes.FP32
+            )
+        ).astype(policy.compute_dtype)
     b = latents.shape[0]
 
     # --- forward diffusion ---
@@ -97,24 +109,31 @@ def loss_fn(
     timesteps = jax.random.randint(r_t, (b,), 0, tcfg.num_train_timesteps)
     noisy = sched.add_noise(acp, latents, noise, timesteps)
 
-    # --- frozen encoders ---
-    context, pooled = clip_text.encode_for_sdxl(
-        params["text_encoder"], cfgs.text_l,
-        params["text_encoder_2"], cfgs.text_g,
-        batch["ids_l"], batch["ids_g"], policy=policy,
-    )
-    context, pooled = sg(context), sg(pooled)
-    extra_ctx, _ = clip_text.encode_for_sdxl(
-        params["text_encoder"], cfgs.text_l,
-        params["text_encoder_2"], cfgs.text_g,
-        batch["extra_l"], batch["extra_g"], policy=policy,
-    )
-    extra_ctx = sg(extra_ctx)
+    # --- frozen encoders (or their cached outputs) ---
+    if cached:
+        context = policy.cast(batch["context"])
+        pooled = policy.cast(batch["pooled"])
+        extra_ctx = policy.cast(batch["extra_context"])
+        image_embeds = policy.cast(batch["image_embeds"])
+        vision_out = {"projected": image_embeds}
+    else:
+        context, pooled = clip_text.encode_for_sdxl(
+            params["text_encoder"], cfgs.text_l,
+            params["text_encoder_2"], cfgs.text_g,
+            batch["ids_l"], batch["ids_g"], policy=policy,
+        )
+        context, pooled = sg(context), sg(pooled)
+        extra_ctx, _ = clip_text.encode_for_sdxl(
+            params["text_encoder"], cfgs.text_l,
+            params["text_encoder_2"], cfgs.text_g,
+            batch["extra_l"], batch["extra_g"], policy=policy,
+        )
+        extra_ctx = sg(extra_ctx)
 
-    vision_out = clip_vision.apply(
-        params["image_encoder"], cfgs.vision, batch["clip_pixels"], policy=policy
-    )
-    image_embeds = sg(vision_out["projected"])
+        vision_out = clip_vision.apply(
+            params["image_encoder"], cfgs.vision, batch["clip_pixels"], policy=policy
+        )
+        image_embeds = sg(vision_out["projected"])
     # per-sample CFG dropout of the image condition (reference train.py:651-657)
     keep = (1.0 - batch["drop_image"]).astype(image_embeds.dtype)[:, None]
     image_embeds = image_embeds * keep

@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--train_image_proj", action="store_true")
     # smoke-path knobs
     p.add_argument("--tiny", action="store_true", help="random tiny bundle (no checkpoints needed)")
+    p.add_argument("--cache_encoders", action="store_true",
+                   help="precompute VAE/CLIP outputs once and train without "
+                        "the frozen towers resident (center-crop only)")
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="use N synthetic batches instead of --data_json_file")
     return p.parse_args(argv)
@@ -137,6 +140,7 @@ def main(argv=None):
         train_image_proj=args.train_image_proj,
     )
     policy = dtypes.FP32 if args.mixed_precision == "no" else dtypes.DEFAULT
+    backend = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else None
     state, frozen = step_lib.init_state(params, tcfg)
 
     n_train = tree_util.count_params([x for x in jax.tree.leaves(state["trainable"])])
@@ -162,7 +166,27 @@ def main(argv=None):
     metrics_log = open(metrics_path, "a")
 
     # -- data ------------------------------------------------------------
-    if args.synthetic_data:
+    if args.cache_encoders and not args.synthetic_data:
+        from imagharmony_tpu.train import cache as cache_lib
+        from imagharmony_tpu.train.dataset import HarmonyDataset
+
+        ds = HarmonyDataset(
+            args.data_json_file, tokenizers, size=args.resolution,
+            clip_image_size=cfgs.vision.image_size,
+            image_root_path=args.data_root_path, center_crop=True,
+            max_token_length=cfgs.text_l.max_position_embeddings,
+        )
+        full = tree_util.merge(state["trainable"], frozen)
+        print(f"precomputing encoder cache over {len(ds)} records...")
+        enc_cache = cache_lib.precompute(full, cfgs, ds, policy=policy)
+        # drop the frozen towers: the train step never touches them now
+        for tower in ("vae", "text_encoder", "text_encoder_2", "image_encoder"):
+            frozen[tower] = None
+        batches = cache_lib.batches_from_cache(
+            enc_cache, args.train_batch_size, seed=args.seed,
+            epochs=args.num_train_epochs,
+        )
+    elif args.synthetic_data:
         def batch_iter():
             for i in range(args.synthetic_data):
                 yield step_lib.dummy_batch(
@@ -177,13 +201,17 @@ def main(argv=None):
             args.data_json_file, tokenizers, size=args.resolution,
             clip_image_size=cfgs.vision.image_size,
             image_root_path=args.data_root_path,
+            max_token_length=cfgs.text_l.max_position_embeddings,
         )
         batches = ds.batches(args.train_batch_size, seed=args.seed,
                              epochs=args.num_train_epochs)
 
     # -- mesh + jit -------------------------------------------------------
     mesh = mesh_lib.fit_data_mesh(args.train_batch_size)
-    step_fn = jax.jit(step_lib.make_train_step(cfgs, tcfg, policy=policy))
+    step_fn = jax.jit(
+        step_lib.make_train_step(cfgs, tcfg, policy=policy, backend=backend),
+        donate_argnums=(0,),  # reuse the state buffers (opt states are ~2 GB at SDXL scale)
+    )
     with mesh:
         state = mesh_lib.replicate(mesh, state)
         frozen_r = mesh_lib.replicate(mesh, frozen)

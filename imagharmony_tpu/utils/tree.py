@@ -42,10 +42,24 @@ def split_by_path(tree, predicate: Callable[[Tuple[str, ...]], bool]):
 
 def merge(a, b):
     """Inverse of split_by_path: overlay two same-structure trees where
-    exactly one side is non-None at each leaf."""
-    if isinstance(a, dict):
+    exactly one side is non-None at each leaf. A pruned subtree (whole
+    branch None on one side) merges to the other side — used to drop
+    frozen encoder params entirely in cached-encoder training."""
+    if b is None and not isinstance(a, (dict, list, tuple)):
+        return a
+    if a is None and not isinstance(b, (dict, list, tuple)):
+        return b
+    if isinstance(a, dict) or isinstance(b, dict):
+        if not isinstance(a, dict):
+            return b
+        if not isinstance(b, dict):
+            return a if b is None else b
         return {k: merge(a[k], b[k]) for k in a}
-    if isinstance(a, (list, tuple)):
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        if not isinstance(a, (list, tuple)):
+            return b
+        if not isinstance(b, (list, tuple)):
+            return a if b is None else b
         return [merge(x, y) for x, y in zip(a, b)]
     return a if a is not None else b
 

@@ -107,3 +107,89 @@ def test_dataset_condition_dropout(tmp_path):
     assert 30 < empties < 150      # ~30% text-drop + ~30% both
     # extra_text never dropped (reference train.py:96-104)
     assert not (ds.load_sample(0, rng)["extra_l"] == empty_ids).all()
+
+
+def test_cached_encoder_training(tmp_path):
+    """Encoder-cache mode: precompute once, drop the frozen towers, loss
+    still falls and the step never touches encoder params."""
+    import jax
+    import json as json_mod
+    from PIL import Image
+
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.models import tokenizer as tok_lib
+    from imagharmony_tpu.pipelines import components as comp
+    from imagharmony_tpu.train import cache as cache_lib
+    from imagharmony_tpu.train import step as step_lib
+    from imagharmony_tpu.train.dataset import HarmonyDataset
+    from imagharmony_tpu.utils import tree as tree_util
+
+    rng = np.random.default_rng(0)
+    root = tmp_path
+    records = []
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)).save(
+            root / f"{i}.png"
+        )
+        records.append({"image_file": f"{i}.png", "text": "a dog", "extra_text": "six dogs"})
+    (root / "t.json").write_text(json_mod.dumps(records))
+
+    toy = tok_lib.build_toy_tokenizer()
+    toks = tok_lib.SDXLTokenizers(toy, toy)
+    cfgs = comp.tiny_configs(vocab_size=len(toy.encoder))
+    params = comp.init_params(0, cfgs)
+    ds = HarmonyDataset(str(root / "t.json"), toks, size=32,
+                        clip_image_size=cfgs.vision.image_size,
+                        image_root_path=str(root), center_crop=True)
+
+    enc_cache = cache_lib.precompute(params, cfgs, ds, batch_size=2, policy=dtypes.FP32)
+    assert enc_cache["latent_mean"].shape[0] == 4
+    assert enc_cache["context"].shape[0] == 4
+
+    tcfg = step_lib.TrainConfig(learning_rate=1e-3, gradient_checkpoint=False)
+    state, frozen = step_lib.init_state(params, tcfg)
+    for tower in ("vae", "text_encoder", "text_encoder_2", "image_encoder"):
+        frozen[tower] = None  # towers gone
+
+    step_fn = jax.jit(step_lib.make_train_step(cfgs, tcfg, policy=dtypes.FP32))
+    losses = []
+    key = jax.random.PRNGKey(0)
+    batches = cache_lib.batches_from_cache(enc_cache, 2, seed=0, epochs=None,
+                                           i_drop_rate=0.0, t_drop_rate=0.0,
+                                           ti_drop_rate=0.0)
+    first_batch = next(batches)
+    for i in range(6):
+        state, metrics = step_fn(state, frozen, first_batch, key)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_cached_dropout_rows(tmp_path):
+    """Text dropout in cache mode swaps to the empty-prompt row."""
+    from imagharmony_tpu.train import cache as cache_lib
+
+    n, s, d = 3, 4, 6
+    rngv = np.random.default_rng(0)
+    cache = {
+        "latent_mean": rngv.normal(size=(n, 2, 2, 4)).astype(np.float32),
+        "latent_logvar": np.zeros((n, 2, 2, 4), np.float32),
+        "context": np.ones((n, s, d), np.float32),
+        "pooled": np.ones((n, d), np.float32),
+        "extra_context": np.ones((n, s, d), np.float32),
+        "image_embeds": np.ones((n, d), np.float32),
+        "original_size": np.ones((n, 2), np.float32),
+        "crop_coords": np.zeros((n, 2), np.float32),
+        "target_size": np.ones((n, 2), np.float32),
+        "empty_context": np.zeros((1, s, d), np.float32),
+        "empty_pooled": np.zeros((1, d), np.float32),
+    }
+    batches = cache_lib.batches_from_cache(
+        cache, 3, seed=0, epochs=30,
+        i_drop_rate=0.0, t_drop_rate=1.0, ti_drop_rate=0.0, drop_remainder=False,
+    )
+    b = next(batches)
+    # all text rows swapped to the empty row
+    np.testing.assert_array_equal(b["context"], 0.0)
+    np.testing.assert_array_equal(b["pooled"], 0.0)
+    # extra_text untouched (never dropped)
+    np.testing.assert_array_equal(b["extra_context"], 1.0)
