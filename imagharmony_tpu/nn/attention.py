@@ -10,9 +10,10 @@ TPU-first redesign of the reference's attention-processor layer
   not a runtime monkey-patch (reference ip_adapter.py:99-133).
 * Softmax runs in fp32 regardless of compute dtype (TPU VPU is fast enough
   that this costs ~nothing and matches torch SDPA's internal upcast).
-* ``backend="pallas"`` routes the big self-attention through the fused
-  Pallas flash kernel; the decoupled branch fuses both KV sources in one
-  kernel (kernels/ip_attention.py).
+* ``backend="pallas"`` routes the big latent self-attention through the
+  fused Pallas kernel (kernels/flash_attention.py); the text and IP cross
+  branches have tiny key lengths (77 / 4 tokens) where XLA's fused softmax
+  is already optimal, so they stay on XLA by design.
 
 Shapes: sequences are (B, S, D_model); heads are folded/unfolded locally so
 XLA sees large fused matmuls.

@@ -392,10 +392,20 @@ class HarmonyPipeline:
         )
 
         down = self.cfgs.vae.downscale
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        noise = jax.random.normal(
-            key, (num_samples, height // down, width // down, 4), jnp.float32
-        )
+        lat_shape = (1, height // down, width // down, 4)
+        if isinstance(seed, (list, tuple)):
+            # per-sample seed list (reference get_generator semantics,
+            # ip_adapter/utils.py:83-93)
+            assert len(seed) == num_samples, "len(seed) must equal num_samples"
+            noise = jnp.concatenate([
+                jax.random.normal(jax.random.PRNGKey(int(s_)), lat_shape, jnp.float32)
+                for s_ in seed
+            ])
+        else:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+            noise = jax.random.normal(
+                key, (num_samples,) + lat_shape[1:], jnp.float32
+            )
 
         images = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise,

@@ -134,3 +134,14 @@ def test_legacy_composed_key_import():
     np.testing.assert_allclose(
         np.asarray(back["fusion_text_image"]["to_q"]["weight"]),
         np.asarray(params["fusion_text_image"]["to_q"]["weight"]), rtol=1e-6)
+
+
+def test_seed_list_per_sample(pipe, ref_image):
+    """Per-sample seed lists (the reference's get_generator accepts seed
+    lists, ip_adapter/utils.py:83-93): sample i from seeds [a,b] equals the
+    single-seed run with noise seeded at that value."""
+    out = _gen(pipe, ref_image, num_samples=2, seed=[11, 12])
+    assert out.shape[0] == 2
+    assert np.abs(out[0].astype(int) - out[1].astype(int)).max() > 0
+    again = _gen(pipe, ref_image, num_samples=2, seed=[11, 12])
+    np.testing.assert_array_equal(out, again)
