@@ -41,6 +41,26 @@ class ResamplerConfig:
     num_latents_mean_pooled: int = 0
 
 
+def plus_config(cross_attention_dim=768, clip_hidden_size=1280, num_tokens=16) -> ResamplerConfig:
+    """IPAdapterPlus (SD1.5): dim=cross_attn, depth 4, 12 heads
+    (reference ip_adapter/ip_adapter.py:350-359)."""
+    return ResamplerConfig(
+        dim=cross_attention_dim, depth=4, dim_head=64, heads=12,
+        num_queries=num_tokens, embedding_dim=clip_hidden_size,
+        output_dim=cross_attention_dim, ff_mult=4,
+    )
+
+
+def plus_xl_config(clip_hidden_size=1664, num_tokens=16) -> ResamplerConfig:
+    """IPAdapterPlusXL: dim 1280, 20 heads, output 2048
+    (reference ip_adapter/ip_adapter.py:392-402)."""
+    return ResamplerConfig(
+        dim=1280, depth=4, dim_head=64, heads=20,
+        num_queries=num_tokens, embedding_dim=clip_hidden_size,
+        output_dim=2048, ff_mult=4,
+    )
+
+
 def tiny_config(**overrides) -> ResamplerConfig:
     base = dict(
         dim=32, depth=2, dim_head=8, heads=4, num_queries=4,

@@ -233,3 +233,12 @@ def test_harmony_config_roundtrip():
     cfg = harmony.legacy_composed_config(fusion_method="mlp")
     d = cfg.to_dict()
     assert harmony.HarmonyConfig.from_dict(d) == cfg
+
+
+def test_plus_config_presets():
+    """IPAdapterPlus/PlusXL resampler presets match the reference dims
+    (reference ip_adapter/ip_adapter.py:350-359, 392-402)."""
+    c = resampler.plus_config()
+    assert (c.dim, c.depth, c.heads, c.num_queries) == (768, 4, 12, 16)
+    cx = resampler.plus_xl_config()
+    assert (cx.dim, cx.heads, cx.output_dim, cx.embedding_dim) == (1280, 20, 2048, 1664)
