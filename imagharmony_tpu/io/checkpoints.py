@@ -325,10 +325,14 @@ def convert_training_checkpoints(log_dir, *, pattern="checkpoint-"):
 # ---------------------------------------------------------------------------
 
 
-def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None, **kw):
+def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
+                  cfgs=None, tokenizers=None, **kw):
     """Build a HarmonyPipeline from HF checkpoint directories (the test.py
     assembly path, reference test.py:66-104). Requires local checkpoints;
-    without them use HarmonyPipeline.random_tiny()."""
+    without them use HarmonyPipeline.random_tiny().
+
+    cfgs/tokenizers default to full SDXL + the checkpoint's tokenizer dirs;
+    override for non-standard model sizes."""
     import jax
 
     from imagharmony_tpu.models import clip_text, clip_vision, tokenizer, unet, vae
@@ -343,7 +347,8 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None, **k
 
     from imagharmony_tpu.nn import prng
 
-    cfgs = comp.sdxl_configs()
+    if cfgs is None:
+        cfgs = comp.sdxl_configs()
     shapes = comp.init_params(prng.abstract_key(), cfgs)
 
     params = {}
@@ -377,12 +382,14 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None, **k
     if adapter_ckpt:
         image_proj_flat, ip_flat, composed_flat, ha_cfg = load_adapter_checkpoint(adapter_ckpt)
         if ha_cfg is not None and ha_cfg != cfgs.harmony:
-            cfgs = comp.sdxl_configs(harmony_cfg=ha_cfg)
+            import dataclasses as _dc
+
+            cfgs = _dc.replace(cfgs, harmony=ha_cfg)
             shapes = comp.init_params(prng.abstract_key(), cfgs)
         params["image_proj"] = hf_import.import_tree(shapes["image_proj"], image_proj_flat)
         params["unet"] = apply_adapter_state(params["unet"], cfgs.unet, ip_flat)
         if composed_flat:
             params["harmony"] = import_harmony(shapes["harmony"], composed_flat)
 
-    toks = tokenizer.SDXLTokenizers.from_pretrained_dir(model_dir)
+    toks = tokenizers or tokenizer.SDXLTokenizers.from_pretrained_dir(model_dir)
     return HarmonyPipeline(params, cfgs, toks, **kw)

@@ -44,14 +44,17 @@ _TO_OUT_LIST = "to_out"
 
 
 def flatten_tree(tree, prefix=()):
-    """Yield (path_tuple, leaf) for a nested dict/list pytree."""
+    """Yield (path_tuple, leaf) for a nested dict/list pytree.
+
+    None leaves are structural placeholders (absent downsamplers, pruned
+    frozen branches) and are skipped — they carry no parameters."""
     if isinstance(tree, dict):
         for k, v in tree.items():
             yield from flatten_tree(v, prefix + (k,))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             yield from flatten_tree(v, prefix + (str(i),))
-    else:
+    elif tree is not None:
         yield prefix, tree
 
 
@@ -64,6 +67,8 @@ def unflatten_tree(template, flat_by_path):
             unflatten_tree(v, {p[1:]: a for p, a in flat_by_path.items() if p[0] == str(i)})
             for i, v in enumerate(template)
         ]
+    if template is None:
+        return None  # structural placeholder (absent submodule)
     return flat_by_path[()]
 
 

@@ -1,0 +1,118 @@
+"""End-to-end checkpoint ingestion: synthesize an HF-style SDXL checkpoint
+directory (safetensors + tokenizer files) from a random tiny bundle, load
+it through io.checkpoints.load_pipeline, and require bit-identical images
+versus the directly-constructed pipeline.
+
+This exercises the entire test.py-equivalent assembly path (reference
+test.py:66-104) without needing real SDXL weights.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from imagharmony_tpu.io import checkpoints, hf_import, safetensors_io
+from imagharmony_tpu.models import tokenizer as tok_lib
+from imagharmony_tpu.pipelines import HarmonyPipeline
+from imagharmony_tpu.pipelines import components as comp
+
+
+@pytest.fixture(scope="module")
+def fake_model_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sdxl_ckpt")
+    toy = tok_lib.build_toy_tokenizer()
+    cfgs = comp.tiny_configs(vocab_size=len(toy.encoder))
+    params = comp.init_params(0, cfgs)
+
+    def write(subdir, flat, fname="diffusion_pytorch_model.safetensors"):
+        d = root / subdir
+        d.mkdir()
+        safetensors_io.save(d / fname, flat)
+
+    write("unet", hf_import.export_tree(params["unet"]))
+    write("vae", hf_import.export_tree(params["vae"]))
+    write(
+        "text_encoder",
+        hf_import.export_tree(params["text_encoder"], prefix="text_model."),
+        "model.safetensors",
+    )
+    te2 = hf_import.export_tree(params["text_encoder_2"], prefix="text_model.")
+    # HF keeps the projection outside the text_model prefix
+    te2 = {
+        (k.replace("text_model.text_projection", "text_projection")): v
+        for k, v in te2.items()
+    }
+    write("text_encoder_2", te2, "model.safetensors")
+    vis = hf_import.export_tree(params["image_encoder"], prefix="vision_model.")
+    vis = {
+        (k.replace("vision_model.visual_projection", "visual_projection")): v
+        for k, v in vis.items()
+    }
+    write("image_encoder", vis, "model.safetensors")
+
+    # tokenizer dirs (toy vocab)
+    for sub in ("tokenizer", "tokenizer_2"):
+        d = root / sub
+        d.mkdir()
+        (d / "vocab.json").write_text(json.dumps(toy.encoder))
+        merges = sorted(toy.bpe_ranks, key=toy.bpe_ranks.get)
+        (d / "merges.txt").write_text(
+            "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges) + "\n"
+        )
+
+    # adapter checkpoint in the 3-dict format
+    checkpoints.save_adapter_checkpoint(
+        root / "ip_adapter.bin",
+        unet_params=params["unet"],
+        unet_cfg=cfgs.unet,
+        image_proj_params=params["image_proj"],
+        harmony_params=params["harmony"],
+        harmony_cfg=cfgs.harmony,
+    )
+    return str(root), cfgs, params, toy
+
+
+def test_load_pipeline_end_to_end(fake_model_dir):
+    root, cfgs, params, toy = fake_model_dir
+    pipe = checkpoints.load_pipeline(
+        model_dir=root,
+        adapter_ckpt=os.path.join(root, "ip_adapter.bin"),
+        cfgs=cfgs,
+    )
+    # direct pipeline with the same params must produce identical pixels
+    toks = tok_lib.SDXLTokenizers(
+        tok_lib.CLIPTokenizer.from_pretrained_dir(os.path.join(root, "tokenizer")),
+        tok_lib.CLIPTokenizer.from_pretrained_dir(
+            os.path.join(root, "tokenizer_2"), pad_token="!"
+        ),
+    )
+    # tokenizer files round-trip: same ids as the toy tokenizer
+    np.testing.assert_array_equal(
+        toks.tok1.encode_batch(["a dog"]), toy.encode_batch(["a dog"])
+    )
+
+    direct = HarmonyPipeline(params, cfgs, toks)
+    img = np.random.default_rng(0).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    kw = dict(prompt="a dog", extra_text="six dogs", num_inference_steps=2,
+              height=32, width=32, seed=3, output_type="np")
+    a = pipe.generate(pil_image=img, **kw)
+    b = direct.generate(pil_image=img, **kw)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_load_pipeline_without_adapter(fake_model_dir):
+    root, cfgs, params, toy = fake_model_dir
+    pipe = checkpoints.load_pipeline(model_dir=root, cfgs=cfgs)
+    img = np.random.default_rng(1).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    out = pipe.generate(pil_image=img, prompt="a dog", num_inference_steps=2,
+                        height=32, width=32, seed=1)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_load_pipeline_missing_dir():
+    with pytest.raises(Exception):
+        checkpoints.load_pipeline(model_dir="/nonexistent/path")
+    with pytest.raises(ValueError):
+        checkpoints.load_pipeline(model_dir=None)
