@@ -23,13 +23,17 @@ class ComponentConfigs:
     unet: unet.UNetConfig
     vae: vae.VAEConfig
     text_l: clip_text.CLIPTextConfig
-    text_g: clip_text.CLIPTextConfig
+    # second tower is SDXL-only; None for the SD1.5 family
+    text_g: Optional[clip_text.CLIPTextConfig]
     vision: clip_vision.CLIPVisionConfig
-    harmony: harmony.HarmonyConfig
+    # HA module is the SDXL QL-Edit head; None for plain SD1.5 IP-Adapter
+    harmony: Optional[harmony.HarmonyConfig]
     # "image_proj" (IPAdapter/XL) or "resampler" (IPAdapterPlus/PlusXL)
     proj_kind: str = "image_proj"
     resampler: Optional[resampler.ResamplerConfig] = None
     num_ip_tokens: int = 4
+    # "sdxl" (dual towers, micro-conditioning) or "sd15" (single tower)
+    family: str = "sdxl"
 
 
 def sdxl_configs(harmony_cfg: Optional[harmony.HarmonyConfig] = None) -> ComponentConfigs:
@@ -44,10 +48,42 @@ def sdxl_configs(harmony_cfg: Optional[harmony.HarmonyConfig] = None) -> Compone
     )
 
 
+def sd15_configs() -> ComponentConfigs:
+    """SD1.5 + vanilla IP-Adapter (the reference's non-XL family:
+    IPAdapter over StableDiffusionPipeline, ip_adapter/ip_adapter.py:69-245;
+    image encoder = CLIP ViT-H, IP branch on every cross-attn layer)."""
+    return ComponentConfigs(
+        unet=unet.sd15_config(),
+        vae=vae.VAEConfig(scaling_factor=0.18215),
+        text_l=clip_text.clip_l_config(),
+        text_g=None,
+        vision=clip_vision.vit_h_config(),
+        harmony=None,
+        family="sd15",
+    )
+
+
+def sd15_tiny_configs(vocab_size=1000) -> ComponentConfigs:
+    u = unet.sd15_config(
+        block_out_channels=(32, 64, 128, 128),
+        cross_attention_dim=24,
+        num_attention_heads=(4, 4, 4, 4),
+        norm_num_groups=8,
+    )
+    tl = clip_text.tiny_config(vocab_size=vocab_size, hidden_size=24, num_heads=4)
+    # SD1.5 conditions on CLIP-L's LAST hidden state (dim == cross_attention_dim)
+    vis = clip_vision.tiny_config(projection_dim=20)
+    return ComponentConfigs(
+        unet=u, vae=vae.tiny_config(scaling_factor=0.18215), text_l=tl,
+        text_g=None, vision=vis, harmony=None, family="sd15",
+    )
+
+
 def tiny_configs(vocab_size=1000, *, proj_kind="image_proj") -> ComponentConfigs:
     """Topology-faithful miniature for tests/demos (compiles in seconds)."""
     u = unet.tiny_config()
     tl = clip_text.tiny_config(vocab_size=vocab_size, hidden_size=24, num_heads=4)
+    # SD1.5 conditions on CLIP-L's LAST hidden state (dim == cross_attention_dim)
     tg = clip_text.tiny_config(
         vocab_size=vocab_size, hidden_size=40, num_heads=4, projection_dim=32
     )
@@ -72,10 +108,12 @@ def init_params(key, cfgs: ComponentConfigs, *, dtype=jnp.float32) -> Dict[str, 
         "unet": unet.init(k[0], cfgs.unet, dtype=dtype),
         "vae": vae.init(k[1], cfgs.vae, dtype=dtype),
         "text_encoder": clip_text.init(k[2], cfgs.text_l, dtype=dtype),
-        "text_encoder_2": clip_text.init(k[3], cfgs.text_g, dtype=dtype),
         "image_encoder": clip_vision.init(k[4], cfgs.vision, dtype=dtype),
-        "harmony": harmony.init(k[5], cfgs.harmony, dtype=dtype),
     }
+    if cfgs.text_g is not None:
+        params["text_encoder_2"] = clip_text.init(k[3], cfgs.text_g, dtype=dtype)
+    if cfgs.harmony is not None:
+        params["harmony"] = harmony.init(k[5], cfgs.harmony, dtype=dtype)
     if cfgs.proj_kind == "image_proj":
         params["image_proj"] = projections.image_proj_init(
             k[6],

@@ -103,7 +103,11 @@ def ip_scale_schedule(opts: EditOptions) -> np.ndarray:
 
 
 def encode_texts(params, cfgs: comp.ComponentConfigs, ids_l, ids_g, *, policy):
-    """Dual-tower SDXL conditioning for a batch of token id rows."""
+    """Text conditioning: dual-tower concat for SDXL; single CLIP-L
+    last-hidden-state for the SD1.5 family (pooled is None there)."""
+    if cfgs.family == "sd15":
+        out = clip_text.apply(params["text_encoder"], cfgs.text_l, ids_l, policy=policy)
+        return out["last"], None
     return clip_text.encode_for_sdxl(
         params["text_encoder"], cfgs.text_l,
         params["text_encoder_2"], cfgs.text_g,
@@ -118,7 +122,7 @@ def image_prompt_tokens(params, cfgs, pixel_values, extra_context, *, policy):
     vision_out = clip_vision.apply(params["image_encoder"], cfgs.vision, pixel_values, policy=policy)
     if cfgs.proj_kind == "image_proj":
         embeds = vision_out["projected"]
-        if extra_context is not None:
+        if extra_context is not None and cfgs.harmony is not None:
             embeds = harmony.fuse_image_embeds(
                 params["harmony"], cfgs.harmony, extra_context, embeds, policy=policy
             )
@@ -217,7 +221,10 @@ def _edit_jit(
     ids_g = jnp.concatenate([ids["neg_g"], ids["pos_g"]], axis=0)
     context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy)
     neg_ctx, pos_ctx = context[:breq], context[breq:]
-    neg_pooled, pos_pooled = pooled[:breq], pooled[breq:]
+    if pooled is None:
+        neg_pooled = pos_pooled = None
+    else:
+        neg_pooled, pos_pooled = pooled[:breq], pooled[breq:]
 
     extra_ctx = None
     if opts.use_harmony and "extra_l" in ids:
@@ -231,13 +238,19 @@ def _edit_jit(
         return jnp.repeat(x, num_samples, axis=0)
 
     context2 = jnp.concatenate([rep(neg_ctx), rep(pos_ctx)], axis=0)
-    pooled2 = jnp.concatenate([rep(neg_pooled), rep(pos_pooled)], axis=0)
+    pooled2 = (
+        None if pos_pooled is None
+        else jnp.concatenate([rep(neg_pooled), rep(pos_pooled)], axis=0)
+    )
     ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
 
     # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
-    tid_pos = jnp.tile(jnp.array([opts.time_ids()], jnp.float32), (breq, 1))
-    tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
-    time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
+    if cfgs.family == "sd15":
+        time_ids = None
+    else:
+        tid_pos = jnp.tile(jnp.array([opts.time_ids()], jnp.float32), (breq, 1))
+        tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
+        time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
 
     latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
     latents = denoise(
@@ -305,6 +318,18 @@ class HarmonyPipeline:
 
         toy = tok_lib.build_toy_tokenizer()
         cfgs = comp.tiny_configs(vocab_size=len(toy.encoder), **kw)
+        params = comp.init_params(jax.random.PRNGKey(seed), cfgs)
+        toks = tok_lib.SDXLTokenizers(toy, toy)
+        return cls(params, cfgs, toks)
+
+    @classmethod
+    def random_tiny_sd15(cls, seed=0):
+        """Random-weight miniature SD1.5 pipeline (single text tower,
+        vanilla IP-Adapter on all layers, no HA)."""
+        from imagharmony_tpu.models import tokenizer as tok_lib
+
+        toy = tok_lib.build_toy_tokenizer()
+        cfgs = comp.sd15_tiny_configs(vocab_size=len(toy.encoder))
         params = comp.init_params(jax.random.PRNGKey(seed), cfgs)
         toks = tok_lib.SDXLTokenizers(toy, toy)
         return cls(params, cfgs, toks)
