@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from imagharmony_tpu.adapters import harmony, projections, resampler
-from imagharmony_tpu.models import clip_text, clip_vision, unet, vae
+from imagharmony_tpu.models import clip_text, clip_vision, controlnet as controlnet_lib, unet, vae
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +34,9 @@ class ComponentConfigs:
     num_ip_tokens: int = 4
     # "sdxl" (dual towers, micro-conditioning) or "sd15" (single tower)
     family: str = "sdxl"
+    # optional ControlNet branch (reference wires CNAttnProcessors onto
+    # pipe.controlnet, ip_adapter/ip_adapter.py:128-133)
+    controlnet: Optional["controlnet_lib.ControlNetConfig"] = None
 
 
 def sdxl_configs(harmony_cfg: Optional[harmony.HarmonyConfig] = None) -> ComponentConfigs:
@@ -114,6 +117,8 @@ def init_params(key, cfgs: ComponentConfigs, *, dtype=jnp.float32) -> Dict[str, 
         params["text_encoder_2"] = clip_text.init(k[3], cfgs.text_g, dtype=dtype)
     if cfgs.harmony is not None:
         params["harmony"] = harmony.init(k[5], cfgs.harmony, dtype=dtype)
+    if cfgs.controlnet is not None:
+        params["controlnet"] = controlnet_lib.init(k[7], cfgs.controlnet, dtype=dtype)
     if cfgs.proj_kind == "image_proj":
         params["image_proj"] = projections.image_proj_init(
             k[6],

@@ -66,6 +66,7 @@ class EditOptions:
     negative_original_size: Optional[tuple] = None
     negative_crops_coords_top_left: Optional[tuple] = None
     negative_target_size: Optional[tuple] = None
+    controlnet_scale: float = 1.0
 
     def time_ids(self, negative=False):
         osz = self.original_size or (self.height, self.width)
@@ -156,11 +157,16 @@ def denoise(
     *,
     guidance_scale,
     guidance_rescale=0.0,
+    controlnet=None,
     policy,
     backend=None,
 ):
     """lax.scan denoise loop. latents (B,h,w,4); context/pooled/time_ids/
-    ip_tokens are CFG-packed (2B, ...) [uncond | cond]."""
+    ip_tokens are CFG-packed (2B, ...) [uncond | cond].
+
+    controlnet: optional (params, cfg, cond_2B, scale) — the branch runs
+    each step on the same CFG-packed inputs (text-only conditioning) and
+    its residuals steer the UNet."""
     b = latents.shape[0]
     xs = sched.scan_constants(schedule) + (jnp.asarray(ip_scales),)
     kind = schedule.kind
@@ -169,6 +175,17 @@ def denoise(
         t, sigma, sigma_next, ip_s = x
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
+        down_res = mid_res = None
+        if controlnet is not None:
+            from imagharmony_tpu.models import controlnet as controlnet_lib
+
+            cn_params, cn_cfg, cn_cond, cn_scale = controlnet
+            down_res, mid_res = controlnet_lib.apply(
+                cn_params, cn_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
+                context, cn_cond,
+                pooled_text_embeds=pooled, time_ids=time_ids,
+                conditioning_scale=cn_scale, backend=backend, policy=policy,
+            )
         eps = unet.apply(
             params_unet,
             unet_cfg,
@@ -179,6 +196,8 @@ def denoise(
             time_ids=time_ids,
             ip_tokens=ip_tokens,
             ip_scale=ip_s,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
             policy=policy,
             backend=backend,
         )
@@ -204,6 +223,7 @@ def _edit_jit(
     ids,            # dict of token-id arrays, each (1, 77)
     pixel_values,   # (1, H, W, 3) CLIP-preprocessed
     noise,          # (num_samples, h, w, 4)
+    control_cond=None,  # (1, Hc, Wc, 3) in [0,1] for the ControlNet branch
     *,
     num_samples: int,
     policy: dtypes.Policy = dtypes.DEFAULT,
@@ -252,11 +272,21 @@ def _edit_jit(
         tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
         time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
 
+    cn = None
+    if control_cond is not None and cfgs.controlnet is not None:
+        b2 = 2 * num_samples * noise.shape[0] // noise.shape[0]  # 2 * rows
+        cond2 = jnp.concatenate([control_cond, control_cond], axis=0)
+        cond2 = jnp.repeat(cond2, latents_rows(noise, num_samples), axis=0)             if False else jnp.concatenate(
+                [jnp.repeat(control_cond, num_samples * noise.shape[0] // max(noise.shape[0], 1), axis=0)] * 2
+            )
+        cn = (params["controlnet"], cfgs.controlnet, cond2, opts.controlnet_scale)
+
     latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
     latents = denoise(
         params["unet"], cfgs.unet, latents, context2, pooled2, time_ids, ip2,
         schedule, ip_scales, guidance_scale=opts.guidance_scale,
         guidance_rescale=opts.guidance_rescale,
+        controlnet=cn,
         policy=policy, backend=backend,
     )
 
@@ -367,6 +397,8 @@ class HarmonyPipeline:
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 1.0,
         tile_vae: bool = False,
+        control_image=None,
+        controlnet_conditioning_scale: float = 1.0,
         guidance_rescale: float = 0.0,
         denoising_end: Optional[float] = None,
         original_size=None,
@@ -414,6 +446,7 @@ class HarmonyPipeline:
             if negative_crops_coords_top_left else None,
             negative_target_size=tuple(negative_target_size)
             if negative_target_size else None,
+            controlnet_scale=controlnet_conditioning_scale,
         )
 
         down = self.cfgs.vae.downscale
@@ -432,8 +465,23 @@ class HarmonyPipeline:
                 key, (num_samples,) + lat_shape[1:], jnp.float32
             )
 
+        control_cond = None
+        if control_image is not None:
+            import numpy as _np
+            from PIL import Image as _Image
+
+            if isinstance(control_image, _np.ndarray):
+                control_image = _Image.fromarray(control_image.astype(_np.uint8))
+            scale_px = 2 ** (len(self.cfgs.controlnet.conditioning_embedding_channels) - 1)
+            down = self.cfgs.vae.downscale
+            ch, cw = (height // down) * scale_px, (width // down) * scale_px
+            arr = _np.asarray(
+                control_image.convert("RGB").resize((cw, ch)), _np.float32
+            ) / 255.0
+            control_cond = jnp.asarray(arr[None])
+
         images = _edit_jit(
-            self.params, self.cfgs, opts, ids, pixel_values, noise,
+            self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
             num_samples=num_samples, policy=self.policy, backend=self.backend,
         )
         if output_type == "latent" or denoising_end is not None:
