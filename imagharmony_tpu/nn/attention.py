@@ -158,9 +158,16 @@ def attention(
     (reference ip_adapter/utils.py:6-79).
     """
     ctx = x if context is None else context
-    q = layers.linear(params["to_q"], x, policy=policy)
-    k = layers.linear(params["to_k"], ctx, policy=policy)
-    v = layers.linear(params["to_v"], ctx, policy=policy)
+    if context is None and "to_qkv" in params:
+        # inference-packed projections (pack_inference_params): one matmul
+        q, k, v = jnp.split(layers.linear(params["to_qkv"], x, policy=policy), 3, axis=-1)
+    elif "to_kv" in params:
+        q = layers.linear(params["to_q"], x, policy=policy)
+        k, v = jnp.split(layers.linear(params["to_kv"], ctx, policy=policy), 2, axis=-1)
+    else:
+        q = layers.linear(params["to_q"], x, policy=policy)
+        k = layers.linear(params["to_k"], ctx, policy=policy)
+        v = layers.linear(params["to_v"], ctx, policy=policy)
 
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)
@@ -182,3 +189,47 @@ def attention(
     if return_ip_probs:
         return y, ip_probs
     return y
+
+
+def pack_inference_params(tree):
+    """Inference-time transform: merge to_q/to_k/to_v into one to_qkv
+    (self-attention) or to_k/to_v into to_kv (cross-attention), so each
+    block issues one large projection matmul instead of three narrow ones.
+
+    Returns a new tree; originals are removed (memory-neutral). Apply to an
+    inference copy only — training/export paths expect the unpacked layout.
+    Head-splitting is unaffected: concat is along the output dim and the
+    per-head reshape happens after the split back into q/k/v.
+    """
+    import numpy as np
+
+    def pack(mods, new_key, node):
+        ws = [np.asarray(node[m]["weight"]) for m in mods]
+        packed = {"weight": np.concatenate(ws, axis=-1)}
+        if all("bias" in node[m] for m in mods):
+            packed["bias"] = np.concatenate([np.asarray(node[m]["bias"]) for m in mods])
+        node[new_key] = packed
+        for m in mods:
+            del node[m]
+
+    def visit(node):
+        if isinstance(node, dict):
+            if {"to_q", "to_k", "to_v"} <= set(node.keys()) and "bias" not in node["to_k"]:
+                # biased projections (e.g. the VAE mid-block attention) are
+                # left untouched — their apply path reads to_q/k/v directly
+                same_input = node["to_q"]["weight"].shape[0] == node["to_k"]["weight"].shape[0]
+                if same_input and node["to_q"]["weight"].shape == node["to_k"]["weight"].shape:
+                    pack(["to_q", "to_k", "to_v"], "to_qkv", node)
+                else:
+                    pack(["to_k", "to_v"], "to_kv", node)
+            for v in node.values():
+                visit(v)
+        elif isinstance(node, list):
+            for v in node:
+                visit(v)
+
+    import copy
+
+    tree = copy.deepcopy(tree)
+    visit(tree)
+    return tree

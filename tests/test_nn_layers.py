@@ -137,3 +137,33 @@ def test_ip_probs_shape():
     )
     assert probs.shape == (2, 4, 6, 4)
     np.testing.assert_allclose(_np(probs.sum(-1)), 1.0, rtol=1e-5, atol=1e-5)
+
+
+def test_pack_inference_params_equivalence():
+    """Packed qkv/kv projections must reproduce the unpacked outputs."""
+    key = jax.random.PRNGKey(0)
+    # self-attention block
+    p_self = attn_lib.attention_init(key, 32, heads=4)
+    # cross-attention block with ip
+    p_cross = attn_lib.attention_init(key, 32, heads=4, context_dim=48, with_ip=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 48))
+    ipc = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 48))
+
+    tree = {"a": {"attn1": p_self, "attn2": p_cross}}
+    packed = attn_lib.pack_inference_params(tree)
+    assert "to_qkv" in packed["a"]["attn1"]
+    assert "to_kv" in packed["a"]["attn2"]
+    assert "to_k" not in packed["a"]["attn2"]
+    # ip projections untouched
+    assert "to_k_ip" in packed["a"]["attn2"]
+
+    a1 = attn_lib.attention(tree["a"]["attn1"], x, heads=4, policy=dtypes.FP32)
+    b1 = attn_lib.attention(packed["a"]["attn1"], x, heads=4, policy=dtypes.FP32)
+    np.testing.assert_allclose(_np(a1), _np(b1), rtol=1e-5, atol=1e-6)
+
+    a2 = attn_lib.attention(tree["a"]["attn2"], x, heads=4, context=ctx,
+                            ip_context=ipc, ip_scale=0.5, policy=dtypes.FP32)
+    b2 = attn_lib.attention(packed["a"]["attn2"], x, heads=4, context=ctx,
+                            ip_context=ipc, ip_scale=0.5, policy=dtypes.FP32)
+    np.testing.assert_allclose(_np(a2), _np(b2), rtol=1e-5, atol=1e-6)
