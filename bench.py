@@ -14,10 +14,17 @@ attention, batch 1 — widely reproduced public number for SDXL-base).
 BASELINE.json's target is ≥2x that on v5e.
 
 Env knobs:
+  IMAGHARMONY_BENCH_MODE   edit|train        (default edit)
   IMAGHARMONY_BENCH_SIZE   full|small|tiny   (default full on TPU)
   IMAGHARMONY_BENCH_STEPS  denoise steps     (default 30)
-  IMAGHARMONY_BENCH_RES    output px         (default 1024)
+  IMAGHARMONY_BENCH_RES    output px         (default 1024; train: 512)
+  IMAGHARMONY_BENCH_BATCH  train batch size  (default 1)
   IMAGHARMONY_BENCH_ATTN   xla|pallas        (default pallas on TPU)
+
+``train`` mode measures the adapter fine-tuning step (BASELINE config 5:
+HA fine-tuning) in samples/sec/chip; baseline = A100 adapter training at
+the reference operating point (~3 it/s at bs1 res512, typical public
+IP-Adapter fine-tune throughput).
 """
 
 import json
@@ -26,12 +33,67 @@ import sys
 import time
 
 
+def bench_train(size, on_tpu, platform):
+    import jax
+    import jax.numpy as jnp
+
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.pipelines import components as comp
+    from imagharmony_tpu.train import step as step_lib
+
+    res = int(os.environ.get("IMAGHARMONY_BENCH_RES", "512" if size == "full" else "64"))
+    bs = int(os.environ.get("IMAGHARMONY_BENCH_BATCH", "1"))
+    if size == "full":
+        cfgs = comp.sdxl_configs()
+        params = comp.init_params(0, cfgs, dtype=jnp.bfloat16)
+    else:
+        cfgs = comp.tiny_configs()
+        params = comp.init_params(0, cfgs)
+    tcfg = step_lib.TrainConfig(gradient_checkpoint=True)
+    state, frozen = step_lib.init_state(params, tcfg)
+    del params
+    state = jax.device_put(state)
+    frozen = jax.device_put(frozen)
+    batch = jax.device_put(step_lib.dummy_batch(cfgs, batch_size=bs, resolution=res))
+    policy = dtypes.DEFAULT if on_tpu else dtypes.FP32
+    backend = "pallas" if on_tpu else None
+    step_fn = jax.jit(
+        step_lib.make_train_step(cfgs, tcfg, policy=policy, backend=backend),
+        donate_argnums=(0,),
+    )
+    t0 = time.time()
+    state, m = step_fn(state, frozen, batch, jax.random.PRNGKey(0))
+    float(m["loss"])
+    compile_s = time.time() - t0
+    reps = 5
+    t0 = time.time()
+    for i in range(reps):
+        state, m = step_fn(state, frozen, batch, jax.random.PRNGKey(i))
+    float(m["loss"])
+    dt = (time.time() - t0) / reps
+    sps = bs / dt
+    a100_train = 3.0  # samples/s, adapter fine-tune bs1 res512 (docstring)
+    print(json.dumps({
+        "metric": f"train samples/sec/chip, bs{bs} {res}px adapter step ({size})",
+        "value": round(sps, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / a100_train, 3),
+        "p50_latency_s": round(dt, 4),
+    }))
+    print(f"# step {dt*1000:.0f}ms | compile {compile_s:.0f}s | platform {platform}",
+          file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
+
+    if os.environ.get("IMAGHARMONY_BENCH_MODE", "edit") == "train":
+        size = os.environ.get("IMAGHARMONY_BENCH_SIZE", "full" if on_tpu else "tiny")
+        return bench_train(size, on_tpu, platform)
 
     from imagharmony_tpu import dtypes
     from imagharmony_tpu.models import unet, vae
