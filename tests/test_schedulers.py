@@ -67,3 +67,30 @@ def test_leading_spacing_offset():
     assert ts[0] == 1000 // 30 * 29 + 1  # leading spacing + steps_offset 1
     assert ts[-1] == 1.0
     assert (np.diff(ts) < 0).all()
+
+
+def test_trailing_and_linspace_spacings():
+    for spacing in ("trailing", "linspace"):
+        cfg = sched.NoiseScheduleConfig(timestep_spacing=spacing)
+        s = sched.euler_schedule(10, cfg)
+        ts = np.asarray(s.timesteps)
+        assert ts.shape == (10,)
+        assert (np.diff(ts) < 0).all()
+        assert ts.max() <= 999
+
+
+def test_linear_beta_schedule():
+    cfg = sched.NoiseScheduleConfig(beta_schedule="linear")
+    acp = sched.alphas_cumprod(cfg)
+    assert acp.shape == (1000,)
+    assert (np.diff(acp) < 0).all()
+
+
+def test_velocity_target_identity():
+    """v = sqrt(a) eps - sqrt(1-a) x0; at a->1 it's eps, at a->0 it's -x0."""
+    acp = np.array([0.999999, 1e-6], np.float32)
+    x0 = jnp.ones((2, 1, 1, 1))
+    eps = jnp.full((2, 1, 1, 1), 2.0)
+    v = sched.velocity_target(acp, x0, eps, jnp.array([0, 1]))
+    np.testing.assert_allclose(float(v[0, 0, 0, 0]), 2.0, atol=1e-2)
+    np.testing.assert_allclose(float(v[1, 0, 0, 0]), -1.0, atol=1e-2)

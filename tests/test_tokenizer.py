@@ -67,3 +67,25 @@ def test_batch_shape(vocab_files):
     ids = ours.encode_batch(["a dog", "eight sheep"])
     assert ids.shape == (2, 77)
     assert ids.dtype == np.int32
+
+
+def test_decode_skips_specials_and_handles_bytes(vocab_files):
+    vocab_json, merges_txt = vocab_files
+    tok = tok_lib.CLIPTokenizer.from_files(vocab_json, merges_txt)
+    # unicode goes through byte-level BPE and round-trips
+    ids = [i for i in tok.encode("dog ému") if i != tok.pad_token_id]
+    assert tok.decode(ids) == "dog ému"
+    # specials dropped by default, kept when asked
+    assert "<|startoftext|>" not in tok.decode(ids)
+    assert "<|startoftext|>" in tok.decode(ids, skip_special=False)
+
+
+def test_pad_token_variant(vocab_files):
+    """tokenizer_2 pads with '!' (id differs from EOS) — both behaviors."""
+    vocab_json, merges_txt = vocab_files
+    t1 = tok_lib.CLIPTokenizer.from_files(vocab_json, merges_txt)
+    assert t1.pad_token_id == t1.eos_token_id
+    t2 = tok_lib.CLIPTokenizer.from_files(vocab_json, merges_txt, pad_token="!")
+    assert t2.pad_token_id != t2.eos_token_id
+    ids = t2.encode("a dog")
+    assert ids[-1] == t2.pad_token_id
