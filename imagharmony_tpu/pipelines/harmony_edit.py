@@ -274,11 +274,13 @@ def _edit_jit(
 
     cn = None
     if control_cond is not None and cfgs.controlnet is not None:
-        b2 = 2 * num_samples * noise.shape[0] // noise.shape[0]  # 2 * rows
-        cond2 = jnp.concatenate([control_cond, control_cond], axis=0)
-        cond2 = jnp.repeat(cond2, latents_rows(noise, num_samples), axis=0)             if False else jnp.concatenate(
-                [jnp.repeat(control_cond, num_samples * noise.shape[0] // max(noise.shape[0], 1), axis=0)] * 2
-            )
+        # rows must match the latent batch (num_samples per request, or one
+        # control image per request in generate_batch), then the CFG pair
+        b_total = noise.shape[0]
+        cond_rows = jnp.repeat(
+            policy.cast(control_cond), b_total // control_cond.shape[0], axis=0
+        )
+        cond2 = jnp.concatenate([cond_rows, cond_rows], axis=0)
         cn = (params["controlnet"], cfgs.controlnet, cond2, opts.controlnet_scale)
 
     latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)

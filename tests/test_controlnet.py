@@ -157,6 +157,10 @@ def test_controlnet_pipeline_end_to_end():
                           controlnet_conditioning_scale=0.5, **kw)
     assert np.abs(half.astype(int) - steered.astype(int)).max() > 0
 
+    # num_samples > 1: control rows broadcast across the sample batch
+    multi = pipe2.generate(pil_image=ref, control_image=cond, num_samples=2, **kw)
+    assert multi.shape[0] == 2
+
 
 def test_controlnet_hf_key_roundtrip():
     """Param tree round-trips through the flat HF-style key space
