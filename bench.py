@@ -72,7 +72,7 @@ def bench_train(size, on_tpu, platform):
     float(m["loss"])
     dt = (time.time() - t0) / reps
     sps = bs / dt
-    a100_train = 3.0  # samples/s, adapter fine-tune bs1 res512 (docstring)
+    a100_train = 3.0  # samples/s, adapter fine-tune bs1 res512 (provenance: BASELINE.md)
     print(json.dumps({
         "metric": f"train samples/sec/chip, bs{bs} {res}px adapter step ({size})",
         "value": round(sps, 3),
@@ -170,7 +170,7 @@ def main():
     per_image = sum(lats) / len(lats) / b
     ips = 1.0 / per_image
 
-    a100_baseline = 0.40  # images/s, 30-step 1024^2 SDXL on A100 (see docstring)
+    a100_baseline = 0.40  # images/s, 30-step 1024^2 SDXL on A100 (provenance: BASELINE.md)
     record = {
         "metric": f"images/sec/chip, {steps}-step {res}x{res} SDXL edit ({size}, attn={backend})",
         "value": round(ips, 4),

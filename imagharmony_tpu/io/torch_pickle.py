@@ -103,8 +103,25 @@ def _materialize(obj, read_storage):
         dt = _np_dtype(ref.dtype)
         buf = read_storage(ref.key)
         flat = np.frombuffer(buf, dtype=dt)
+        # Bounds validation: a crafted .bin could otherwise drive
+        # as_strided out of the storage (OOB read / segfault).
+        if offset < 0 or any(s < 0 for s in stride) or any(d < 0 for d in size):
+            raise ValueError(
+                f"tensor with negative offset/stride/size rejected: "
+                f"offset={offset} size={size} stride={stride}"
+            )
         if not size:
+            if offset >= flat.size:
+                raise ValueError(f"scalar offset {offset} beyond storage {flat.size}")
             return flat[offset].copy()
+        if all(d > 0 for d in size):
+            last = offset + sum(s * (d - 1) for s, d in zip(stride, size))
+            if last >= flat.size:
+                raise ValueError(
+                    f"tensor view out of bounds: needs element {last}, "
+                    f"storage has {flat.size} (offset={offset} size={size} "
+                    f"stride={stride})"
+                )
         strides_bytes = tuple(s * dt.itemsize for s in stride)
         arr = np.lib.stride_tricks.as_strided(
             flat[offset:], shape=size, strides=strides_bytes

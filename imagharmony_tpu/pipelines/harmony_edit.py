@@ -58,6 +58,10 @@ class EditOptions:
     # stop at a fraction of the schedule (mixture-of-denoisers handoff,
     # reference custom_pipelines.py:308-316)
     denoising_end: Optional[float] = None
+    # skip the VAE and return pre-decode latents (B, h, w, 4) — the
+    # reference pipeline's output_type="latent" split
+    # (custom_pipelines.py:361-377)
+    return_latents: bool = False
     # SDXL micro-conditioning overrides ((h, w) / (top, left) tuples;
     # None -> output size / zero crop; reference custom_pipelines.py:48-53)
     original_size: Optional[tuple] = None
@@ -292,8 +296,9 @@ def _edit_jit(
         policy=policy, backend=backend,
     )
 
-    if opts.denoising_end is not None:
-        # mixture-of-denoisers handoff: return latents for a refiner stage
+    if opts.denoising_end is not None or opts.return_latents:
+        # mixture-of-denoisers handoff / output_type="latent": return the
+        # pre-VAE latents (B, h, w, 4) for a refiner or external decode
         return latents
 
     # bf16 VAE decode on TPU: bf16 keeps fp32 exponent range, so the fp16
@@ -449,6 +454,7 @@ class HarmonyPipeline:
             negative_target_size=tuple(negative_target_size)
             if negative_target_size else None,
             controlnet_scale=controlnet_conditioning_scale,
+            return_latents=output_type == "latent",
         )
 
         down = self.cfgs.vae.downscale
@@ -487,6 +493,10 @@ class HarmonyPipeline:
             num_samples=num_samples, policy=self.policy, backend=self.backend,
         )
         if output_type == "latent" or denoising_end is not None:
+            # true pre-VAE latents (num_samples, h, w, 4)
+            return images
+        if output_type == "raw":
+            # decoded float images in [-1, 1] (num_samples, H, W, 3)
             return images
         arr = to_uint8(images)
         if output_type == "pil":

@@ -69,25 +69,25 @@ def generate_with_pns(
     generate_kw.pop("num_samples", None)
     output_type = generate_kw.pop("output_type", "pil")
 
-    latents = pipe.generate(
+    decoded = pipe.generate(
         pil_image=pil_image,
         prompt=prompt,
         num_samples=num_seeds,
         seed=seed,
-        output_type="latent",
+        output_type="raw",  # decoded float images in [-1,1], NOT latents
         **generate_kw,
     )  # (K, H, W, 3) float in [-1,1]
 
     ids_g = pipe._tokenize(prompt or "")[1]
     scores = clip_scores(
-        pipe.params, pipe.cfgs, jnp.asarray(latents), ids_g, policy=pipe.policy
+        pipe.params, pipe.cfgs, jnp.asarray(decoded), ids_g, policy=pipe.policy
     )
     scores = np.asarray(scores)
     best = int(np.argmax(scores))
 
     from imagharmony_tpu.pipelines.harmony_edit import to_uint8
 
-    arr = to_uint8(latents)
+    arr = to_uint8(decoded)
     if output_type == "pil":
         from PIL import Image
 

@@ -21,12 +21,16 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
 import queue
 import threading
 import time
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+log = logging.getLogger("imagharmony.serving")
 
 _HTML = """<!doctype html><title>IMAGHarmony-TPU</title>
 <h2>IMAGHarmony-TPU — quantity & layout consistent editing</h2>
@@ -89,6 +93,7 @@ class BatchingWorker(threading.Thread):
         self.max_wait_s = max_wait_s
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self.running = True
+        self.pack_errors = 0  # observable packed-path failure count
 
     def submit(self, payload) -> _Request:
         req = _Request(payload)
@@ -121,7 +126,14 @@ class BatchingWorker(threading.Thread):
                 self._run_packed(group)
                 return
             except Exception:
-                pass  # fall back to per-request on any packing failure
+                # Fall back to per-request, but LOUDLY: a shape/packing bug
+                # in generate_batch must surface, not hide as a silent
+                # per-request fallback.
+                log.error(
+                    "packed batch of %d failed; falling back to per-request:\n%s",
+                    len(group), traceback.format_exc(),
+                )
+                self.pack_errors += 1
         for req in group:
             try:
                 req.result = self._run_one(req.payload)

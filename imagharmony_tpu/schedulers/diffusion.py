@@ -30,6 +30,10 @@ class NoiseScheduleConfig:
     steps_offset: int = 1
     timestep_spacing: str = "leading"
     prediction_type: str = "epsilon"
+    # DDIM final alpha_prev: SD1.5/SDXL ship set_alpha_to_one=False
+    # (final_alpha_cumprod = alphas_cumprod[0] ≈ 0.9991); True uses 1.0
+    # (plain DDIM paper behavior, lands exactly on x0).
+    set_alpha_to_one: bool = False
 
 
 def alphas_cumprod(cfg: NoiseScheduleConfig) -> np.ndarray:
@@ -136,7 +140,8 @@ def ddim_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -
     ts = _spaced_timesteps(num_steps, cfg).astype(np.int64)
     alphas = acp[ts]
     prev_ts = ts - cfg.num_train_timesteps // num_steps
-    alphas_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], 1.0)
+    final_alpha = 1.0 if cfg.set_alpha_to_one else float(acp[0])
+    alphas_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], final_alpha)
     # store as (num_steps+1,): alpha_t at i, alpha_prev as the i+1 entry
     seq = np.concatenate([alphas, alphas_prev[-1:]]).astype(np.float32)
     return Schedule(

@@ -39,6 +39,12 @@ class TrainConfig:
     train_image_proj: bool = False  # reference excludes it (train.py:600)
     max_grad_norm: Optional[float] = None
     gradient_checkpoint: bool = True
+    # UNet config used to mask AdamW weight decay off the *inert* IP
+    # projections (skip layers never run their decoupled branch, so their
+    # grads are exactly zero; torch AdamW skips None-grad params — without
+    # the mask, pure decay would drift those seeded weights toward zero in
+    # exported checkpoints). None → decay everything (legacy behavior).
+    unet_cfg: Optional[object] = None
 
     def predicate(self) -> Callable:
         return (
@@ -48,8 +54,28 @@ class TrainConfig:
         )
 
 
+def decay_mask(trainable, unet_cfg):
+    """True where AdamW weight decay applies: everywhere except the inert
+    to_k_ip/to_v_ip projections of UNet layers whose IP branch is skipped
+    (reference skip=True layers, attention_processor.py:430)."""
+
+    def leaf(path, x):
+        if x is None:
+            return None
+        if path and path[0] == "unet" and ("to_k_ip" in path or "to_v_ip" in path):
+            return unet_cfg.is_ip_active(".".join(path))
+        return True
+
+    return tree_util.map_leaves_with_path(trainable, leaf)
+
+
 def make_optimizer(cfg: TrainConfig):
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    mask = (
+        None
+        if cfg.unet_cfg is None
+        else (lambda params: decay_mask(params, cfg.unet_cfg))
+    )
+    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay, mask=mask)
     if cfg.max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx

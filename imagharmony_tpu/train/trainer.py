@@ -66,6 +66,9 @@ def parse_args(argv=None):
                         "the frozen towers resident (center-crop only)")
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="use N synthetic batches instead of --data_json_file")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="fetch metrics from device every N steps (per-step "
+                        "float() would block ~25 ms tunnel RTT each step)")
     return p.parse_args(argv)
 
 
@@ -138,6 +141,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         noise_offset=args.noise_offset,
         train_image_proj=args.train_image_proj,
+        unet_cfg=cfgs.unet,  # masks weight decay off inert IP projections
     )
     policy = dtypes.FP32 if args.mixed_precision == "no" else dtypes.DEFAULT
     backend = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else None
@@ -218,6 +222,38 @@ def main(argv=None):
 
         rng = jax.random.PRNGKey(args.seed)
         global_step = start_step
+        # Metrics stay on-device between log points: a per-step float()
+        # would block on the device each step (~25 ms tunnel RTT here —
+        # up to ~25% of the measured 101 ms step). The reference prints
+        # per step (train.py:699-701); we batch the fetch instead.
+        pending = []  # (step, metrics_device, data_time)
+        window_t0 = time.perf_counter()
+
+        def drain_pending():
+            nonlocal window_t0
+            if not pending:
+                return
+            window = time.perf_counter() - window_t0
+            per_step = window / len(pending)
+            fetched = jax.device_get(
+                [(m["loss"], m["grad_norm"]) for _, m, _ in pending]
+            )
+            for (s, _, dtm), (loss, gn) in zip(pending, fetched):
+                metrics_log.write(json.dumps({
+                    "step": s, "loss": float(loss),
+                    "grad_norm": float(gn),
+                    "step_time_s": round(per_step, 4),
+                    "data_time_s": round(dtm, 4),
+                    "wall": time.time(),
+                }) + "\n")
+            metrics_log.flush()
+            print(
+                f"step {pending[-1][0]}, {per_step*1000:.0f} ms/step, "
+                f"step_loss: {float(fetched[-1][0]):.5f}"
+            )
+            pending.clear()
+            window_t0 = time.perf_counter()
+
         t_begin = time.perf_counter()
         for batch in batches:
             if args.max_steps and global_step >= args.max_steps:
@@ -227,31 +263,24 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, frozen_r, batch, sub)
             global_step += 1
-            loss = float(metrics["loss"])
-            step_time = time.perf_counter() - t_begin
-            print(
-                f"step {global_step}, data_time: {data_time:.3f}, "
-                f"time: {step_time:.3f}, step_loss: {loss:.5f}"
-            )
-            metrics_log.write(json.dumps({
-                "step": global_step, "loss": loss,
-                "grad_norm": float(metrics["grad_norm"]),
-                "step_time_s": round(step_time, 4),
-                "data_time_s": round(data_time, 4),
-                "wall": time.time(),
-            }) + "\n")
-            metrics_log.flush()
+            pending.append((global_step, metrics, data_time))
+            if global_step % args.log_every == 0 or (
+                args.max_steps and global_step >= args.max_steps
+            ):
+                drain_pending()
             t_begin = time.perf_counter()
 
             if global_step % args.save_steps == 0 or (
                 args.max_steps and global_step >= args.max_steps
             ):
+                drain_pending()
                 mngr.save(
                     global_step,
                     args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
                 )
                 mngr.wait_until_finished()
                 _export_adapter(args, cfgs, state, frozen, global_step)
+        drain_pending()
     print("training done at step", global_step)
     return global_step
 

@@ -118,3 +118,29 @@ def test_blocked_globals_raise(tmp_path):
         zf.writestr("archive/data.pkl", pickle.dumps({"x": Evil()}))
     with pytest.raises(Exception):
         torch_pickle.load(p)
+
+
+def test_oob_tensor_views_rejected():
+    """Crafted offset/size/stride combos must not read outside the storage
+    (the safe-unpickler posture extends to the view-materialization step)."""
+
+    class Ref:
+        dtype = "float32"
+        key = "0"
+
+    storage = np.arange(8, dtype=np.float32).tobytes()
+    read = lambda key: storage
+
+    # in-bounds view works
+    ok = torch_pickle._materialize(("tensor", Ref(), 0, (2, 2), (2, 1)), read)
+    np.testing.assert_array_equal(ok, [[0, 1], [2, 3]])
+
+    for offset, size, stride in [
+        (0, (3, 3), (3, 1)),      # last element index 8 >= numel 8
+        (6, (2, 2), (2, 1)),      # offset pushes view past the end
+        (-1, (2, 2), (2, 1)),     # negative offset
+        (0, (2, 2), (-2, 1)),     # negative stride
+        (100, (), ()),            # scalar offset out of range
+    ]:
+        with pytest.raises(ValueError):
+            torch_pickle._materialize(("tensor", Ref(), offset, size, stride), read)

@@ -58,6 +58,22 @@ def test_denoising_end_returns_latents(pipe, ref_image):
     lat = _gen(pipe, ref_image, num_inference_steps=4, denoising_end=0.5)
     # latent handoff for a refiner stage: (B, h, w, 4) floats
     assert lat.shape[-1] == 4
+
+
+def test_output_type_latent_returns_true_latents(pipe, ref_image):
+    """output_type='latent' must skip the VAE: (B, h, w, 4) pre-decode
+    latents (reference custom_pipelines.py:361-377 output split)."""
+    down = pipe.cfgs.vae.downscale
+    lat = _gen(pipe, ref_image, output_type="latent")
+    assert lat.shape == (1, 32 // down, 32 // down, 4)
+    # and 'raw' returns decoded float images in [-1, 1]
+    raw = _gen(pipe, ref_image, output_type="raw")
+    assert raw.shape == (1, 32, 32, 3)
+    arr = np.asarray(raw, np.float32)
+    assert arr.min() >= -1.5 and arr.max() <= 1.5  # decoded image range
+    # uint8 path unchanged
+    img = _gen(pipe, ref_image, output_type="np")
+    assert img.dtype == np.uint8
     assert lat.dtype != np.uint8
 
 

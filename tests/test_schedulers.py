@@ -45,9 +45,10 @@ def test_euler_schedule_shapes_and_recovery():
 
 
 def test_ddim_schedule_recovery():
-    s = sched.ddim_schedule(10)
+    # set_alpha_to_one=True → final alpha_prev = 1 → exact x0 recovery
+    s = sched.ddim_schedule(10, sched.NoiseScheduleConfig(set_alpha_to_one=True))
     assert s.timesteps.shape == (10,)
-    assert float(s.sigmas[-1]) == 1.0  # final alpha_prev = 1 → x0
+    assert float(s.sigmas[-1]) == 1.0
 
     # DDPM parametrization: x_t = sqrt(a) x0 + sqrt(1-a) eps; perfect model
     # recovers x0 through the DDIM (eta=0) chain.
@@ -59,6 +60,27 @@ def test_ddim_schedule_recovery():
     for i in range(s.num_steps):
         x = sched.step(s, i, jnp.array(eps), x)
     np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-3, atol=1e-3)
+
+
+def test_ddim_default_final_alpha_matches_shipped_configs():
+    """SD1.5/SDXL DDIM configs ship set_alpha_to_one=False: the trailing
+    alpha_prev is alphas_cumprod[0], not 1.0 (diffusers
+    DDIMScheduler.final_alpha_cumprod semantics)."""
+    cfg = sched.NoiseScheduleConfig()
+    acp = sched.alphas_cumprod(cfg)
+    s = sched.ddim_schedule(10, cfg)
+    np.testing.assert_allclose(float(s.sigmas[-1]), float(acp[0]), rtol=1e-6)
+    # perfect-model chain lands on q(x_{t0}|x0) with the first alpha, not x0
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    eps = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    a0 = float(s.sigmas[0])
+    x = jnp.array(np.sqrt(a0) * x0 + np.sqrt(1 - a0) * eps)
+    for i in range(s.num_steps):
+        x = sched.step(s, i, jnp.array(eps), x)
+    af = float(acp[0])
+    expect = np.sqrt(af) * x0 + np.sqrt(1 - af) * eps
+    np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-3, atol=1e-3)
 
 
 def test_leading_spacing_offset():

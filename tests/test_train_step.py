@@ -82,6 +82,42 @@ def test_loss_decreases_and_frozen_untouched():
             np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_inert_ip_weights_not_decayed():
+    """Skip-layer to_k_ip/to_v_ip get exactly-zero grads (their branch never
+    runs); with the decay mask they must stay bit-identical after a step —
+    torch AdamW semantics for None-grad params (reference keeps inert
+    adapter weights at their seeded values)."""
+    cfgs = comp.tiny_configs()
+    params = comp.init_params(jax.random.PRNGKey(0), cfgs)
+    tcfg = train_step_lib.TrainConfig(
+        learning_rate=1e-2, weight_decay=0.1, gradient_checkpoint=False,
+        unet_cfg=cfgs.unet,
+    )
+    state, frozen = train_step_lib.init_state(params, tcfg)
+    step_fn = jax.jit(train_step_lib.make_train_step(cfgs, tcfg, policy=FP32))
+    batch = train_step_lib.dummy_batch(cfgs)
+
+    tr = state["trainable"]["unet"]
+    # tiny config uses the default single-target ip_layers: mid_block inert
+    inert_before = np.asarray(
+        tr["mid_block"]["attentions"][0]["transformer_blocks"][0]["attn2"]["to_k_ip"]["weight"]
+    ).copy()
+    active_before = np.asarray(
+        tr["down_blocks"][2]["attentions"][1]["transformer_blocks"][0]["attn2"]["to_k_ip"]["weight"]
+    ).copy()
+
+    state, _ = step_fn(state, frozen, batch, jax.random.PRNGKey(3))
+    tr = state["trainable"]["unet"]
+    inert_after = np.asarray(
+        tr["mid_block"]["attentions"][0]["transformer_blocks"][0]["attn2"]["to_k_ip"]["weight"]
+    )
+    active_after = np.asarray(
+        tr["down_blocks"][2]["attentions"][1]["transformer_blocks"][0]["attn2"]["to_k_ip"]["weight"]
+    )
+    np.testing.assert_array_equal(inert_before, inert_after)
+    assert np.abs(active_before - active_after).max() > 0
+
+
 def test_dp_sharded_step_matches_single_device():
     """DP over the virtual 8-device mesh must agree with single-device
     (the grad all-reduce is exact for MSE mean loss)."""
