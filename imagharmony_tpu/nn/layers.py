@@ -173,11 +173,34 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def geglu(params, x, *, policy: dtypes.Policy = dtypes.DEFAULT):
-    """GEGLU used by SDXL transformer FFNs: proj to 2*d then x * gelu(gate)."""
-    h = linear(params, x, policy=policy)
-    h, gate = jnp.split(h, 2, axis=-1)
-    return h * gelu(gate)
+def geglu(params, x, *, policy: dtypes.Policy = dtypes.DEFAULT, approximate=None):
+    """GEGLU used by SDXL transformer FFNs: proj to 2*d then h * gelu(gate).
+
+    Implemented as TWO dots (h columns, gate columns) instead of one dot +
+    split: mathematically identical — each output column depends only on its
+    own weight column — and measured 1.3-1.9x faster on TPU v5e because XLA
+    does not fuse elementwise work into a dot's output; the packed form
+    materializes the (M, 2*ffi) intermediate to HBM, re-reads it for the
+    split, and pays an expensive erfc on the way back
+    (tools/probe_geglu_v2.py: 1.09 ms -> 0.59 ms at the SDXL dim-640 shape).
+
+    approximate=None -> tanh-approx gelu iff the compute dtype is bf16: the
+    approximation's 2.6e-3 relative deviation is below bf16 resolution
+    (~4e-3) but above fp32, so fp32 paths (parity vs torch, goldens) keep
+    the exact erf form.
+    """
+    w = params["weight"]
+    ffi = w.shape[-1] // 2
+    xp = policy.cast(x)
+    h = jnp.dot(xp, policy.cast(w[:, :ffi]))
+    g = jnp.dot(xp, policy.cast(w[:, ffi:]))
+    if "bias" in params:
+        b = policy.cast(params["bias"])
+        h = h + b[:ffi]
+        g = g + b[ffi:]
+    if approximate is None:
+        approximate = policy.compute_dtype == jnp.bfloat16
+    return h * jax.nn.gelu(g, approximate=approximate)
 
 
 ACTIVATIONS = {
