@@ -146,7 +146,144 @@ def flash_attention(q, k, v, *, scale):
     return _flash(q, k, v, scale)
 
 
-# Note: a transpose-free (B, S, H, D) kernel was prototyped and reverted —
-# Mosaic requires the block's minor two dims to be (8, 128)-divisible or
-# full-size, and a single head slice (1, 64) in that layout is neither.
-# The (B, H, S, D) relayout the callers do is the supported shape.
+# ---------------------------------------------------------------------------
+# Transpose-free variant: (B, S, H*D) layout, heads never materialized
+# ---------------------------------------------------------------------------
+#
+# The (B, H, S, D) relayout the standard kernel needs costs 4 transposes per
+# attention instance (q/k/v split + output merge) — measured ~4-6 ms/UNet
+# call of pure "data formatting" HBM traffic in the profile. A single head
+# slice (1, bq, 64) violates Mosaic's 128-lane minor-dim rule, but a block
+# of 128 LANES = TWO d=64 heads is legal: the kernel takes (1, bq, 128)
+# blocks of the packed (B, S, H*D) tensor and computes both heads' attention
+# in-register. No transpose anywhere; the out projection reads the packed
+# layout directly.
+
+
+def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim, bf16_softmax):
+    q = q_ref[0]  # (BQ, G) where G = lanes per group (n heads * head_dim)
+    k = k_ref[0]  # (Sk, G)
+    v = v_ref[0]  # (Sk, G)
+    outs = []
+    for h in range(q.shape[-1] // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        if bf16_softmax:
+            # fp32 max-subtraction, bf16 exp: halves the VPU softmax cost;
+            # exp in [0,1] so bf16's 8-bit mantissa gives ~0.4% relative
+            # error — below the bf16 PV matmul error already present.
+            e = jnp.exp((logits - m).astype(jnp.bfloat16))
+            denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            probs = (e * jax.lax.reciprocal(denom).astype(e.dtype)).astype(v.dtype)
+        else:
+            e = jnp.exp(logits - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            probs = (e / denom).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                probs, v[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _flash_nhd_impl(q, k, v, scale, head_dim):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    # lanes per grid group: pack heads up to 128 lanes (two d=64 heads);
+    # d >= 128 gets one head per group
+    g = head_dim if head_dim % 128 == 0 else 128
+    bq = sq if sq <= 1024 else 512
+    bf16_softmax = q.dtype == jnp.bfloat16
+
+    grid = (b, hd // g, sq // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_nhd_kernel, scale=scale, head_dim=head_dim,
+            bf16_softmax=bf16_softmax,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, g), lambda i, hp, j: (i, j, hp)),
+            pl.BlockSpec((1, sk, g), lambda i, hp, j: (i, 0, hp)),
+            pl.BlockSpec((1, sk, g), lambda i, hp, j: (i, 0, hp)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, g), lambda i, hp, j: (i, j, hp)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * (hd // head_dim) * sq * sk * head_dim,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * (hd // head_dim) * sq * sk,
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_nhd(q, k, v, scale, head_dim):
+    return _flash_nhd_impl(q, k, v, scale, head_dim)
+
+
+def _flash_nhd_fwd(q, k, v, scale, head_dim):
+    return _flash_nhd_impl(q, k, v, scale, head_dim), (q, k, v)
+
+
+def _flash_nhd_bwd(scale, head_dim, res, g):
+    """Exact recompute backward in the packed layout (XLA einsums)."""
+    q, k, v = res
+    b, sq, hd = q.shape
+    h = hd // head_dim
+
+    def split(x):
+        return x.reshape(x.shape[0], x.shape[1], h, head_dim)
+
+    qh, kh, vh, gh = split(q), split(k), split(v), split(g)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    pv = probs.astype(gh.dtype)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", pv, gh)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh).astype(jnp.float32)
+    dsoft = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dsoft = (dsoft * scale).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dsoft, kh)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dsoft, qh)
+    rs = lambda x: x.reshape(b, x.shape[1], hd)
+    return rs(dq), rs(dk), rs(dv)
+
+
+_flash_nhd.defvjp(_flash_nhd_fwd, _flash_nhd_bwd)
+
+
+def flash_attention_nhd(q, k, v, *, scale, head_dim):
+    """Transpose-free fused attention on packed (B, S, H*D) tensors, or
+    None to signal the caller to use the head-split path.
+
+    Requirements: head_dim*n == 128 for some integer n (or head_dim % 128
+    == 0), Sq/Sk % 256 == 0, Sk >= 512, TPU platform.
+    """
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    if head_dim % 128 != 0 and 128 % head_dim != 0:
+        return None
+    if hd % (head_dim if head_dim % 128 == 0 else 128) != 0:
+        return None
+    if sk < 512 or sq % 256 != 0 or sk % 256 != 0:
+        return None
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon") and not _INTERPRET:
+        return None
+    return _flash_nhd(q, k, v, scale, head_dim)

@@ -169,6 +169,24 @@ def attention(
         k = layers.linear(params["to_k"], ctx, policy=policy)
         v = layers.linear(params["to_v"], ctx, policy=policy)
 
+    # Transpose-free fast path: self-attention through the packed-layout
+    # Pallas kernel skips the 4 head split/merge relayouts entirely
+    # (measured several ms/UNet-call of "data formatting" HBM traffic).
+    if (
+        context is None
+        and mask is None
+        and ip_context is None
+        and (backend or _DEFAULT_BACKEND) == "pallas"
+    ):
+        from imagharmony_tpu.kernels import flash_attention as _fa
+
+        head_dim = q.shape[-1] // heads
+        packed = _fa.flash_attention_nhd(
+            q, k, v, scale=head_dim**-0.5, head_dim=head_dim
+        )
+        if packed is not None:
+            return layers.linear(params["to_out"], packed, policy=policy)
+
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)
     vh = _split_heads(v, heads)

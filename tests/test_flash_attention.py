@@ -75,3 +75,64 @@ def test_sdpa_backend_pallas_falls_back(interpret_mode):
     a = attn_lib.sdpa(q, k, v, backend="pallas")
     b = attn_lib.sdpa(q, k, v, backend="xla")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def _packed_qkv(b=1, h=2, s=512, d=64, dtype=jnp.float32, sk=None):
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    sk = sk or s
+    return (
+        jax.random.normal(ks[0], (b, s, h * d), dtype),
+        jax.random.normal(ks[1], (b, sk, h * d), dtype),
+        jax.random.normal(ks[2], (b, sk, h * d), dtype),
+    )
+
+
+def _ref_nhd(q, k, v, h, d):
+    split = lambda x: x.reshape(x.shape[0], x.shape[1], h, d).transpose(0, 2, 1, 3)
+    out = attn_lib.sdpa(split(q), split(k), split(v), backend="xla")
+    b, _, s, _ = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def test_nhd_parity_vs_xla(interpret_mode):
+    """Packed-layout kernel == head-split XLA attention (2 heads/group)."""
+    q, k, v = _packed_qkv(h=4)
+    out = fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64)
+    assert out is not None
+    ref = _ref_nhd(q, k, v, 4, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_nhd_parity_bf16(interpret_mode):
+    q, k, v = _packed_qkv(h=2, dtype=jnp.bfloat16)
+    out = fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64)
+    assert out is not None
+    ref = _ref_nhd(q, k, v, 2, 64)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_nhd_gradient_parity(interpret_mode):
+    q, k, v = _packed_qkv(h=2, s=256, sk=512)
+
+    def loss_p(q, k, v):
+        return (fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (_ref_nhd(q, k, v, 2, 64) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_nhd_dispatch_rules():
+    # head_dim that doesn't divide 128 -> decline (SD1.5's 40/80-wide heads)
+    q, k, v = _packed_qkv(h=2, d=80)
+    assert fa.flash_attention_nhd(q, k, v, scale=80**-0.5, head_dim=80) is None
+    # tiny K declines
+    q, k, v = _packed_qkv(h=2, sk=128)
+    assert fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64) is None

@@ -28,8 +28,15 @@ def test_capture_matches_scanned_pipeline(ref_image):
         pil_image=ref_image, prompt="a dog", extra_text="six dogs",
         num_inference_steps=3, height=32, width=32, seed=5, output_type="latent",
     )
-    # generate() decodes; compare decoded image to capture's decoded image
-    c = parity.cosine(cap["image"], np.asarray(lat, np.float32))
+    # output_type="latent" returns true pre-VAE latents
+    c = parity.cosine(cap["latents"][-1], np.asarray(lat, np.float32))
+    assert c > 0.9999, c
+
+    raw = pipe.generate(
+        pil_image=ref_image, prompt="a dog", extra_text="six dogs",
+        num_inference_steps=3, height=32, width=32, seed=5, output_type="raw",
+    )
+    c = parity.cosine(cap["image"], np.asarray(raw, np.float32))
     assert c > 0.9999, c
 
 
