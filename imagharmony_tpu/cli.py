@@ -36,6 +36,10 @@ def _add_edit_args(p):
     p.add_argument("--model-dir", default=None, help="SDXL checkpoint directory")
     p.add_argument("--adapter-ckpt", default=None, help="ip_adapter.bin / .safetensors")
     p.add_argument("--image-encoder-dir", default=None)
+    p.add_argument("--controlnet-dir", default=None,
+                   help="diffusers ControlNetModel directory (optional)")
+    p.add_argument("--control-image", default=None,
+                   help="conditioning image for the ControlNet branch")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--guidance-scale", type=float, default=5.0)
     p.add_argument("--steps", type=int, default=30)
@@ -58,10 +62,12 @@ def cmd_edit(args):
         model_dir=args.model_dir,
         adapter_ckpt=args.adapter_ckpt,
         image_encoder_dir=args.image_encoder_dir,
+        controlnet_dir=args.controlnet_dir,
     )
     image = Image.open(args.input).resize((512, 512))
     t0 = time.time()
     kw = dict(
+        control_image=(Image.open(args.control_image) if args.control_image else None),
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,
         extra_text=args.extra_text,

@@ -325,17 +325,46 @@ def convert_training_checkpoints(log_dir, *, pattern="checkpoint-"):
 # ---------------------------------------------------------------------------
 
 
+def detect_family(model_dir) -> str:
+    """Classify an HF pipeline directory as "sdxl" or "sd15".
+
+    Primary signal: ``model_index.json``'s ``_class_name`` (diffusers writes
+    "StableDiffusionXLPipeline" / "StableDiffusionPipeline" /
+    "StableDiffusionControlNetPipeline", ...). Fallback: the presence of a
+    ``text_encoder_2`` directory (SDXL's second tower). Mirrors the
+    reference's two pipeline families (ip_adapter/ip_adapter.py:69-245 over
+    StableDiffusionPipeline vs IPAdapterXL:249-340 over SDXL)."""
+    idx = os.path.join(model_dir, "model_index.json")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            cls = json.load(f).get("_class_name", "")
+        if "XL" in cls:
+            return "sdxl"
+        if "StableDiffusion" in cls:
+            return "sd15"
+    return "sdxl" if os.path.isdir(os.path.join(model_dir, "text_encoder_2")) else "sd15"
+
+
 def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
-                  cfgs=None, tokenizers=None, **kw):
+                  controlnet_dir=None, cfgs=None, tokenizers=None, **kw):
     """Build a HarmonyPipeline from HF checkpoint directories (the test.py
     assembly path, reference test.py:66-104). Requires local checkpoints;
     without them use HarmonyPipeline.random_tiny().
 
-    cfgs/tokenizers default to full SDXL + the checkpoint's tokenizer dirs;
-    override for non-standard model sizes."""
+    Handles both reference families: SDXL (dual text towers + HA head) and
+    SD1.5 (single tower, vanilla all-layers IP-Adapter — reference
+    ip_adapter/ip_adapter.py:69-245), auto-detected from model_index.json.
+    ``controlnet_dir`` loads a diffusers ControlNetModel directory onto the
+    pipeline (the reference installs CNAttnProcessors on ``pipe.controlnet``,
+    ip_adapter/ip_adapter.py:128-133).
+
+    cfgs/tokenizers default to the detected family's full-size configs + the
+    checkpoint's tokenizer dirs; override for non-standard model sizes."""
+    import dataclasses as _dc
+
     import jax
 
-    from imagharmony_tpu.models import clip_text, clip_vision, tokenizer, unet, vae
+    from imagharmony_tpu.models import clip_text, clip_vision, controlnet as cn_lib, tokenizer, unet, vae
     from imagharmony_tpu.pipelines import components as comp
     from imagharmony_tpu.pipelines.harmony_edit import HarmonyPipeline
 
@@ -348,7 +377,23 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
     from imagharmony_tpu.nn import prng
 
     if cfgs is None:
-        cfgs = comp.sdxl_configs()
+        family = detect_family(model_dir)
+        cfgs = comp.sdxl_configs() if family == "sdxl" else comp.sd15_configs()
+    if controlnet_dir and cfgs.controlnet is None:
+        # the standard diffusers ControlNet copies the base UNet's encoder;
+        # the conditioning-embedding widths come from its config.json
+        cn_kw = {}
+        cn_cfg_path = os.path.join(controlnet_dir, "config.json")
+        if os.path.exists(cn_cfg_path):
+            with open(cn_cfg_path) as f:
+                cn_json = json.load(f)
+            if "conditioning_embedding_out_channels" in cn_json:
+                cn_kw["conditioning_embedding_channels"] = tuple(
+                    cn_json["conditioning_embedding_out_channels"]
+                )
+            if "conditioning_channels" in cn_json:
+                cn_kw["conditioning_channels"] = int(cn_json["conditioning_channels"])
+        cfgs = _dc.replace(cfgs, controlnet=cn_lib.ControlNetConfig(base=cfgs.unet, **cn_kw))
     shapes = comp.init_params(prng.abstract_key(), cfgs)
 
     params = {}
@@ -363,12 +408,13 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
         load_sharded_dir(os.path.join(model_dir, "text_encoder")),
         prefix="text_model.",
     )
-    params["text_encoder_2"] = hf_import.import_tree(
-        shapes["text_encoder_2"],
-        load_sharded_dir(os.path.join(model_dir, "text_encoder_2")),
-        prefix="text_model.",
-        key_map=lambda k: k.replace("text_model.text_projection", "text_projection"),
-    )
+    if cfgs.text_g is not None:
+        params["text_encoder_2"] = hf_import.import_tree(
+            shapes["text_encoder_2"],
+            load_sharded_dir(os.path.join(model_dir, "text_encoder_2")),
+            prefix="text_model.",
+            key_map=lambda k: k.replace("text_model.text_projection", "text_projection"),
+        )
     enc_dir = image_encoder_dir or os.path.join(model_dir, "image_encoder")
     params["image_encoder"] = hf_import.import_tree(
         shapes["image_encoder"],
@@ -376,20 +422,31 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
         prefix="vision_model.",
         key_map=lambda k: k.replace("vision_model.visual_projection", "visual_projection"),
     )
+    if controlnet_dir:
+        params["controlnet"] = hf_import.import_tree(
+            shapes["controlnet"], load_sharded_dir(controlnet_dir)
+        )
 
     params["image_proj"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["image_proj"])
-    params["harmony"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["harmony"])
+    if cfgs.harmony is not None:
+        params["harmony"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["harmony"])
     if adapter_ckpt:
         image_proj_flat, ip_flat, composed_flat, ha_cfg = load_adapter_checkpoint(adapter_ckpt)
         if ha_cfg is not None and ha_cfg != cfgs.harmony:
-            import dataclasses as _dc
-
             cfgs = _dc.replace(cfgs, harmony=ha_cfg)
             shapes = comp.init_params(prng.abstract_key(), cfgs)
         params["image_proj"] = hf_import.import_tree(shapes["image_proj"], image_proj_flat)
         params["unet"] = apply_adapter_state(params["unet"], cfgs.unet, ip_flat)
-        if composed_flat:
+        if composed_flat and cfgs.harmony is not None:
             params["harmony"] = import_harmony(shapes["harmony"], composed_flat)
 
-    toks = tokenizers or tokenizer.SDXLTokenizers.from_pretrained_dir(model_dir)
+    if tokenizers is not None:
+        toks = tokenizers
+    elif cfgs.text_g is not None:
+        toks = tokenizer.SDXLTokenizers.from_pretrained_dir(model_dir)
+    else:
+        # SD1.5: one tokenizer; the dual front end just sees it twice (the
+        # second stream is unused by the sd15 encode path)
+        t1 = tokenizer.CLIPTokenizer.from_pretrained_dir(os.path.join(model_dir, "tokenizer"))
+        toks = tokenizer.SDXLTokenizers(t1, t1)
     return HarmonyPipeline(params, cfgs, toks, **kw)
