@@ -48,6 +48,11 @@ def _add_edit_args(p):
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--scheduler", default="euler", choices=["euler", "ddim"])
+    p.add_argument("--fast", action="store_true",
+                   help="latency preset: 15 steps + trailing timestep spacing "
+                        "(arXiv 2305.08891; changes outputs vs the 30-step default)")
+    p.add_argument("--timestep-spacing", default=None,
+                   choices=["leading", "trailing", "linspace"])
     p.add_argument("--tile-vae", action="store_true")
     p.add_argument("--pns", type=int, default=0, help="preference-guided noise selection over K seeds")
 
@@ -65,6 +70,14 @@ def cmd_edit(args):
         controlnet_dir=args.controlnet_dir,
     )
     image = Image.open(args.input).resize((512, 512))
+    steps, spacing = args.steps, args.timestep_spacing or "leading"
+    if args.fast:
+        # gated latency preset (reference operating point stays 30 steps,
+        # test.py:33): trailing spacing holds quality at low step counts
+        if steps == 30:
+            steps = 15
+        if args.timestep_spacing is None:
+            spacing = "trailing"
     t0 = time.time()
     kw = dict(
         control_image=(Image.open(args.control_image) if args.control_image else None),
@@ -73,7 +86,8 @@ def cmd_edit(args):
         extra_text=args.extra_text,
         scale=args.scale,
         guidance_scale=args.guidance_scale,
-        num_inference_steps=args.steps,
+        num_inference_steps=steps,
+        timestep_spacing=spacing,
         seed=args.seed,
         num_samples=args.num_samples,
         height=args.height,
@@ -136,6 +150,74 @@ def cmd_serve(args):
     serving.main(args)
 
 
+def cmd_parity(args):
+    """North-star parity driver (BASELINE.json: ≥0.999 per-step cosine).
+
+    Two-machine protocol: run tools/capture_reference.py in a diffusers env
+    to produce ``--theirs``; this command replays the same noise/prompt/
+    schedule through our pipeline and prints the per-step cosine table.
+    With both --ours and --theirs it just compares two saved captures.
+    """
+    import numpy as np
+
+    from imagharmony_tpu.utils import parity
+
+    if args.ours and args.theirs:
+        rep = parity.compare(parity.load(args.ours), parity.load(args.theirs))
+        rep["pass"] = rep["min_cosine"] >= args.target
+        print(json.dumps(rep))
+        return rep
+
+    theirs = parity.load(args.theirs) if args.theirs else None
+    meta = {}
+    if theirs is not None and "meta" in theirs:
+        meta = json.loads(str(theirs["meta"]))
+    if args.model_dir:
+        from imagharmony_tpu.io import checkpoints
+
+        pipe = checkpoints.load_pipeline(
+            model_dir=args.model_dir,
+            adapter_ckpt=args.adapter_ckpt,
+            image_encoder_dir=args.image_encoder_dir,
+        )
+    else:
+        from imagharmony_tpu.pipelines import HarmonyPipeline
+
+        print("no --model-dir: capturing from the random tiny pipeline")
+        pipe = HarmonyPipeline.random_tiny()
+    if args.input:
+        from PIL import Image
+
+        img = Image.open(args.input)
+    else:
+        img = np.zeros((64, 64, 3), np.uint8)
+    size = int(meta.get("size", args.size))
+    cap = parity.run_capture(
+        pipe,
+        img,
+        prompt=meta.get("prompt", args.prompt),
+        negative_prompt=meta.get("negative_prompt"),
+        steps=int(meta.get("steps", args.steps)),
+        height=size,
+        width=size,
+        seed=int(meta.get("seed", args.seed)),
+        scheduler=meta.get("scheduler", args.scheduler),
+        guidance_scale=float(meta.get("guidance_scale", 5.0)),
+        # vs a stock-diffusers capture the IP branch must be off
+        ip_scale=float(meta.get("ip_scale", 0.0 if theirs is not None else 1.0)),
+        noise=(theirs["noise"] if theirs is not None and "noise" in theirs else None),
+    )
+    if args.save:
+        parity.save(args.save, cap)
+        print(f"saved our capture to {args.save}")
+    if theirs is not None:
+        rep = parity.compare(cap, theirs)
+        rep["target"] = args.target
+        rep["pass"] = rep["min_cosine"] >= args.target
+        print(json.dumps(rep))
+        return rep
+
+
 def cmd_convert(args):
     from imagharmony_tpu.io import checkpoints
 
@@ -162,10 +244,27 @@ def main(argv=None):
     p_conv = sub.add_parser("convert", help="convert training ckpts to adapter format")
     p_conv.add_argument("--log-dir", required=True)
 
+    p_par = sub.add_parser("parity", help="per-step cosine parity vs a diffusers capture")
+    p_par.add_argument("--ours", default=None, help="our saved capture .npz")
+    p_par.add_argument("--theirs", default=None, help="diffusers capture .npz (tools/capture_reference.py)")
+    p_par.add_argument("--model-dir", default=None)
+    p_par.add_argument("--adapter-ckpt", default=None)
+    p_par.add_argument("--image-encoder-dir", default=None)
+    p_par.add_argument("--input", default=None, help="reference image (IP branch)")
+    p_par.add_argument("--save", default=None, help="save our capture here")
+    p_par.add_argument("--prompt", default="best quality, high quality")
+    p_par.add_argument("--steps", type=int, default=8)
+    p_par.add_argument("--size", type=int, default=256)
+    p_par.add_argument("--seed", type=int, default=0)
+    p_par.add_argument("--scheduler", default="euler", choices=["euler", "ddim"])
+    p_par.add_argument("--target", type=float, default=0.999)
+
     p_serve = sub.add_parser("serve", help="batched editing service")
     p_serve.add_argument("--port", type=int, default=7860)
     p_serve.add_argument("--model-dir", default=None)
     p_serve.add_argument("--adapter-ckpt", default=None)
+    p_serve.add_argument("--continuous", action="store_true",
+                         help="continuous batching: admit requests mid-denoise")
 
     sub.add_parser("train", help="adapter fine-tuning (args passed through)", add_help=False)
 
@@ -177,6 +276,8 @@ def main(argv=None):
         cmd_demo(args)
     elif args.cmd == "convert":
         cmd_convert(args)
+    elif args.cmd == "parity":
+        cmd_parity(args)
     elif args.cmd == "serve":
         cmd_serve(args)
     elif args.cmd == "train":

@@ -47,6 +47,10 @@ class EditOptions:
     width: int = 1024
     num_inference_steps: int = 30
     scheduler: str = "euler"
+    # "leading" (SDXL shipped config) | "trailing" | "linspace". Trailing
+    # includes t≈999 and is markedly better at low step counts
+    # (arXiv 2305.08891 §4.2) — the basis of the --fast preset.
+    timestep_spacing: str = "leading"
     guidance_scale: float = 5.0
     ip_scale: float = 1.0
     control_guidance_start: float = 0.0
@@ -148,6 +152,54 @@ def image_prompt_tokens(params, cfgs, pixel_values, extra_context, *, policy):
     return cond, uncond
 
 
+def build_conditioning(params, cfgs: comp.ComponentConfigs, opts: EditOptions,
+                       ids, pixel_values, *, num_samples, policy):
+    """All CFG-packed conditioning tensors for a denoise run.
+
+    Returns (context2, pooled2, time_ids, ip2), each (2·B·num_samples, ...)
+    in [uncond | cond] row order (pooled2/time_ids are None for SD1.5).
+    Shared by the one-jit edit path and the chunked/continuous runner.
+    """
+    # --- text conditioning: [neg | pos] rows in one encoder batch ---
+    # B independent requests are supported: every ids entry is (B, 77).
+    breq = ids["pos_l"].shape[0]
+    ids_l = jnp.concatenate([ids["neg_l"], ids["pos_l"]], axis=0)
+    ids_g = jnp.concatenate([ids["neg_g"], ids["pos_g"]], axis=0)
+    context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy)
+    neg_ctx, pos_ctx = context[:breq], context[breq:]
+    if pooled is None:
+        neg_pooled = pos_pooled = None
+    else:
+        neg_pooled, pos_pooled = pooled[:breq], pooled[breq:]
+
+    extra_ctx = None
+    if opts.use_harmony and "extra_l" in ids:
+        extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"], policy=policy)
+
+    # --- image prompt tokens ---
+    ip_cond, ip_uncond = image_prompt_tokens(params, cfgs, pixel_values, extra_ctx, policy=policy)
+
+    # --- CFG packing, repeated to num_samples ---
+    def rep(x):
+        return jnp.repeat(x, num_samples, axis=0)
+
+    context2 = jnp.concatenate([rep(neg_ctx), rep(pos_ctx)], axis=0)
+    pooled2 = (
+        None if pos_pooled is None
+        else jnp.concatenate([rep(neg_pooled), rep(pos_pooled)], axis=0)
+    )
+    ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
+
+    # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
+    if cfgs.family == "sd15":
+        time_ids = None
+    else:
+        tid_pos = jnp.tile(jnp.array([opts.time_ids()], jnp.float32), (breq, 1))
+        tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
+        time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
+    return context2, pooled2, time_ids, ip2
+
+
 def denoise(
     params_unet,
     unet_cfg: unet.UNetConfig,
@@ -234,47 +286,15 @@ def _edit_jit(
     backend: Optional[str] = None,
 ):
     schedule = sched.make(
-        opts.scheduler, opts.num_inference_steps, denoising_end=opts.denoising_end
+        opts.scheduler, opts.num_inference_steps,
+        sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+        denoising_end=opts.denoising_end,
     )
     ip_scales = ip_scale_schedule(opts)[: schedule.num_steps]
 
-    # --- text conditioning: [neg | pos] rows in one encoder batch ---
-    # B independent requests are supported: every ids entry is (B, 77).
-    breq = ids["pos_l"].shape[0]
-    ids_l = jnp.concatenate([ids["neg_l"], ids["pos_l"]], axis=0)
-    ids_g = jnp.concatenate([ids["neg_g"], ids["pos_g"]], axis=0)
-    context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy)
-    neg_ctx, pos_ctx = context[:breq], context[breq:]
-    if pooled is None:
-        neg_pooled = pos_pooled = None
-    else:
-        neg_pooled, pos_pooled = pooled[:breq], pooled[breq:]
-
-    extra_ctx = None
-    if opts.use_harmony and "extra_l" in ids:
-        extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"], policy=policy)
-
-    # --- image prompt tokens ---
-    ip_cond, ip_uncond = image_prompt_tokens(params, cfgs, pixel_values, extra_ctx, policy=policy)
-
-    # --- CFG packing, repeated to num_samples ---
-    def rep(x):
-        return jnp.repeat(x, num_samples, axis=0)
-
-    context2 = jnp.concatenate([rep(neg_ctx), rep(pos_ctx)], axis=0)
-    pooled2 = (
-        None if pos_pooled is None
-        else jnp.concatenate([rep(neg_pooled), rep(pos_pooled)], axis=0)
+    context2, pooled2, time_ids, ip2 = build_conditioning(
+        params, cfgs, opts, ids, pixel_values, num_samples=num_samples, policy=policy
     )
-    ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
-
-    # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
-    if cfgs.family == "sd15":
-        time_ids = None
-    else:
-        tid_pos = jnp.tile(jnp.array([opts.time_ids()], jnp.float32), (breq, 1))
-        tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
-        time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
 
     cn = None
     if control_cond is not None and cfgs.controlnet is not None:
@@ -408,6 +428,7 @@ class HarmonyPipeline:
         controlnet_conditioning_scale: float = 1.0,
         guidance_rescale: float = 0.0,
         denoising_end: Optional[float] = None,
+        timestep_spacing: str = "leading",
         original_size=None,
         crops_coords_top_left=(0, 0),
         target_size=None,
@@ -415,7 +436,29 @@ class HarmonyPipeline:
         negative_crops_coords_top_left=None,
         negative_target_size=None,
         output_type: str = "np",
+        callback_on_step_end=None,
+        chunk_steps: Optional[int] = None,
     ):
+        if callback_on_step_end is not None or chunk_steps is not None:
+            # progress-callback path: chunked runner (same math, one extra
+            # dispatch per chunk; reference demo.py:112,127 progress role)
+            from imagharmony_tpu.pipelines import continuous
+
+            return continuous.generate_chunked(
+                self, pil_image=pil_image, prompt=prompt,
+                negative_prompt=negative_prompt, extra_text=extra_text,
+                seed=seed, num_samples=num_samples,
+                chunk_steps=chunk_steps or 5,
+                callback_on_step_end=callback_on_step_end,
+                output_type=output_type,
+                scale=scale, guidance_scale=guidance_scale,
+                num_inference_steps=num_inference_steps,
+                height=height, width=width, scheduler=scheduler,
+                timestep_spacing=timestep_spacing,
+                control_guidance_start=control_guidance_start,
+                control_guidance_end=control_guidance_end,
+                guidance_rescale=guidance_rescale, tile_vae=tile_vae,
+            )
         prompt = prompt or DEFAULT_PROMPT
         negative_prompt = negative_prompt or DEFAULT_NEGATIVE
 
@@ -444,6 +487,7 @@ class HarmonyPipeline:
             tile_vae=tile_vae,
             guidance_rescale=guidance_rescale,
             denoising_end=denoising_end,
+            timestep_spacing=timestep_spacing,
             original_size=tuple(original_size) if original_size else None,
             crops_coords_top_left=tuple(crops_coords_top_left),
             target_size=tuple(target_size) if target_size else None,

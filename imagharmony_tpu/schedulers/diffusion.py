@@ -126,7 +126,12 @@ def euler_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) 
     ts = _spaced_timesteps(num_steps, cfg)
     sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
-    init_sigma = float((sigmas.max() ** 2 + 1.0) ** 0.5)
+    # diffusers EulerDiscreteScheduler.init_noise_sigma: plain max sigma for
+    # linspace/trailing spacing, sqrt(max^2+1) for the leading default
+    if cfg.timestep_spacing in ("linspace", "trailing"):
+        init_sigma = float(sigmas.max())
+    else:
+        init_sigma = float((sigmas.max() ** 2 + 1.0) ** 0.5)
     return Schedule(
         kind="euler",
         timesteps=jnp.asarray(ts),

@@ -4,11 +4,15 @@ BASELINE.json's north star is ≥0.999 per-step cosine similarity against the
 diffusers reference. diffusers can't run in this environment, so parity is
 a two-sided protocol:
 
-1. ``capture_reference.py`` (written below as a string you can run in any
-   torch+diffusers env) dumps per-step latents/eps for a fixed seed+prompt
-   into an .npz;
-2. ``run_capture`` here produces the same trace from this framework;
+1. ``tools/capture_reference.py`` (a standalone script, run it in any
+   torch+diffusers env) dumps the initial noise + per-step latents for a
+   fixed seed+prompt into an .npz;
+2. ``run_capture`` here produces the same trace from this framework,
+   *reusing the reference's initial noise* so the trajectories share x_T;
 3. ``compare`` scores per-step cosine similarity between the two.
+
+One-command driver: ``imagharmony parity --theirs ref.npz --model-dir ...``
+(see cli.cmd_parity).
 
 Also provides the self-consistency check that runs everywhere:
 bf16-vs-fp32 pipeline cosine (numerical-discipline canary — if our own
@@ -28,12 +32,18 @@ def cosine(a, b) -> float:
 
 
 def run_capture(pipe, pil_image, *, prompt, extra_text=None, steps=8, height=256,
-                width=256, seed=0, scheduler="euler", **kw):
+                width=256, seed=0, scheduler="euler", noise=None,
+                guidance_scale=5.0, negative_prompt=None, ip_scale=1.0, **kw):
     """Run an edit and capture every intermediate latent.
 
     Returns dict: noise, latents (steps+1, ...), image.
     Uses the python-loop path (not the scan) so intermediates are visible;
     math is identical to the scanned pipeline (same schedule/step fns).
+
+    ``noise``: optional (1, h, w, 4) NHWC initial N(0,1) latents — pass the
+    reference capture's ``noise`` so both trajectories share x_T.
+    ``ip_scale=0`` turns the IP branch off for plain-SDXL parity against a
+    stock diffusers capture (tools/capture_reference.py).
     """
     import jax
     import jax.numpy as jnp
@@ -49,7 +59,9 @@ def run_capture(pipe, pil_image, *, prompt, extra_text=None, steps=8, height=256
     )
     ids = {}
     ids["pos_l"], ids["pos_g"] = pipe._tokenize(prompt)
-    ids["neg_l"], ids["neg_g"] = pipe._tokenize(he.DEFAULT_NEGATIVE)
+    ids["neg_l"], ids["neg_g"] = pipe._tokenize(
+        he.DEFAULT_NEGATIVE if negative_prompt is None else negative_prompt
+    )
     context, pooled = he.encode_texts(
         params, cfgs, jnp.concatenate([ids["neg_l"], ids["pos_l"]]),
         jnp.concatenate([ids["neg_g"], ids["pos_g"]]), policy=policy)
@@ -62,7 +74,12 @@ def run_capture(pipe, pil_image, *, prompt, extra_text=None, steps=8, height=256
 
     schedule = sched.make(scheduler, steps)
     down = cfgs.vae.downscale
-    noise = jax.random.normal(jax.random.PRNGKey(seed), (1, height // down, width // down, 4), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (1, height // down, width // down, 4), jnp.float32
+        )
+    else:
+        noise = jnp.asarray(noise, jnp.float32)
     lat = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
     tid = jnp.array([[height, width, 0, 0, height, width]], jnp.float32)
     time_ids = jnp.concatenate([tid, tid])
@@ -71,7 +88,8 @@ def run_capture(pipe, pil_image, *, prompt, extra_text=None, steps=8, height=256
     step_fn = jax.jit(
         lambda p, l, t, s, sn: sched.step_c(
             schedule.kind, s, sn,
-            _cfg_eps(p, cfgs, l, t, s, context, pooled, time_ids, ip2, schedule.kind, policy, pipe.backend),
+            _cfg_eps(p, cfgs, l, t, s, context, pooled, time_ids, ip2, schedule.kind,
+                     policy, pipe.backend, guidance_scale, ip_scale),
             l,
         )
     )
@@ -88,7 +106,8 @@ def run_capture(pipe, pil_image, *, prompt, extra_text=None, steps=8, height=256
     }
 
 
-def _cfg_eps(params, cfgs, lat, t, sigma, context, pooled, time_ids, ip2, kind, policy, backend):
+def _cfg_eps(params, cfgs, lat, t, sigma, context, pooled, time_ids, ip2, kind,
+             policy, backend, guidance_scale, ip_scale):
     import jax.numpy as jnp
 
     from imagharmony_tpu.models import unet
@@ -99,16 +118,25 @@ def _cfg_eps(params, cfgs, lat, t, sigma, context, pooled, time_ids, ip2, kind, 
     eps = unet.apply(
         params["unet"], cfgs.unet, lat_in, jnp.broadcast_to(t, (2,)), context,
         pooled_text_embeds=pooled, time_ids=time_ids, ip_tokens=ip2,
-        ip_scale=1.0, policy=policy, backend=backend,
+        ip_scale=ip_scale, policy=policy, backend=backend,
     )
     eps_u, eps_c = jnp.split(eps, 2)
-    return eps_u + 5.0 * (eps_c - eps_u)
+    return eps_u + guidance_scale * (eps_c - eps_u)
 
 
 def compare(capture_a, capture_b):
     """Per-step cosine table between two captures (ours vs reference or
-    ours-fp32 vs ours-bf16)."""
+    ours-fp32 vs ours-bf16).
+
+    Alignment: our captures store steps+1 latents (x_T first); diffusers'
+    per-step callback yields only the post-step latents. When lengths differ
+    by one, the longer trace drops its x_T entry so step i matches step i.
+    """
     la, lb = capture_a["latents"], capture_b["latents"]
+    if len(la) == len(lb) + 1:
+        la = la[1:]
+    elif len(lb) == len(la) + 1:
+        lb = lb[1:]
     n = min(len(la), len(lb))
     per_step = [cosine(la[i], lb[i]) for i in range(n)]
     return {
@@ -127,23 +155,16 @@ def load(path):
         return {k: z[k] for k in z.files}
 
 
-# Script to run in a torch+diffusers environment to produce the reference
-# capture (kept as data so this module stays torch-free).
-REFERENCE_CAPTURE_SCRIPT = r'''
-# Run in a diffusers env to capture the reference trajectory:
-#   python capture_reference.py --model-dir ... --out ref_capture.npz
-import argparse, numpy as np, torch
-from diffusers import StableDiffusionXLPipeline, EulerDiscreteScheduler
-p = argparse.ArgumentParser()
-p.add_argument("--model-dir", required=True); p.add_argument("--out", required=True)
-p.add_argument("--steps", type=int, default=8); p.add_argument("--size", type=int, default=256)
-a = p.parse_args()
-pipe = StableDiffusionXLPipeline.from_pretrained(a.model_dir, torch_dtype=torch.float32)
-traj = []
-def cb(i, t, latents): traj.append(latents.permute(0,2,3,1).cpu().numpy())
-g = torch.Generator().manual_seed(0)
-out = pipe(prompt="best quality, high quality", num_inference_steps=a.steps,
-           height=a.size, width=a.size, guidance_scale=5.0, generator=g,
-           callback=cb, callback_steps=1, output_type="np")
-np.savez_compressed(a.out, latents=np.stack(traj), image=out.images)
-'''
+def reference_capture_script() -> str:
+    """The diffusers-side capture script, shipped as a real runnable file at
+    ``tools/capture_reference.py`` (kept out of the package so this module
+    stays torch-free)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tools",
+        "capture_reference.py",
+    )
+    with open(path) as f:
+        return f.read()

@@ -161,3 +161,20 @@ def test_seed_list_per_sample(pipe, ref_image):
     assert np.abs(out[0].astype(int) - out[1].astype(int)).max() > 0
     again = _gen(pipe, ref_image, num_samples=2, seed=[11, 12])
     np.testing.assert_array_equal(out, again)
+
+
+def test_timestep_spacing_fast_preset(pipe, ref_image):
+    """--fast preset basis: trailing spacing runs end-to-end, starts the
+    schedule at t≈999 (vs 958 for leading), and changes outputs."""
+    from imagharmony_tpu.schedulers import diffusion as sched
+
+    lead = sched.make("euler", 15, sched.NoiseScheduleConfig(timestep_spacing="leading"))
+    trail = sched.make("euler", 15, sched.NoiseScheduleConfig(timestep_spacing="trailing"))
+    assert float(trail.timesteps[0]) == 999.0
+    assert float(lead.timesteps[0]) < 999.0
+    # trailing includes the max-noise step -> init sigma is the global max
+    assert trail.init_noise_sigma > lead.init_noise_sigma
+
+    a = _gen(pipe, ref_image, timestep_spacing="leading")
+    b = _gen(pipe, ref_image, timestep_spacing="trailing")
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0

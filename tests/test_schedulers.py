@@ -62,6 +62,41 @@ def test_ddim_schedule_recovery():
     np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-3, atol=1e-3)
 
 
+def test_scheduler_constants_match_diffusers_published_values():
+    """Anchor the schedule math to LITERAL constants from the diffusers
+    ecosystem (not derived from this module): the scaled_linear
+    0.00085→0.012 schedule's sigma_max=14.6146 / sigma_min=0.0292 are the
+    published k-diffusion/SDXL values; alphas_cumprod[0]=0.99915 is exactly
+    1-beta_start; EulerDiscreteScheduler's init_noise_sigma is plain
+    max-sigma for linspace/trailing spacing and sqrt(max²+1) for leading."""
+    cfg = sched.NoiseScheduleConfig()
+    acp = np.asarray(sched.alphas_cumprod(cfg), np.float64)
+    assert abs(acp[0] - 0.99915) < 1e-6
+    sigmas = np.sqrt((1.0 - acp) / acp)
+    np.testing.assert_allclose(sigmas[-1], 14.6146, atol=5e-4)
+    np.testing.assert_allclose(sigmas[0], 0.0292, atol=5e-5)
+
+    # linspace spacing includes t=999 → init_noise_sigma = sigma_max itself
+    s_lin = sched.euler_schedule(30, sched.NoiseScheduleConfig(timestep_spacing="linspace"))
+    ts = np.asarray(s_lin.timesteps)
+    assert ts[0] == 999.0 and ts[-1] == 0.0
+    np.testing.assert_allclose(ts[1], 965.0)  # round(999*28/29)
+    np.testing.assert_allclose(s_lin.init_noise_sigma, 14.6146, atol=5e-4)
+
+    # SDXL ships leading spacing + steps_offset=1: 30-step grid [958..1]/33
+    s_lead = sched.euler_schedule(30, cfg)
+    ts = np.asarray(s_lead.timesteps)
+    assert ts[0] == 958.0 and ts[-1] == 1.0
+    assert np.all(np.diff(ts) == -33.0)
+    np.testing.assert_allclose(
+        s_lead.init_noise_sigma, (np.max(np.asarray(s_lead.sigmas)) ** 2 + 1) ** 0.5
+    )
+
+    # DDIM 30-step leading grid is the same [958..1] sequence
+    s_ddim = sched.ddim_schedule(30, cfg)
+    np.testing.assert_array_equal(np.asarray(s_ddim.timesteps), ts)
+
+
 def test_ddim_default_final_alpha_matches_shipped_configs():
     """SD1.5/SDXL DDIM configs ship set_alpha_to_one=False: the trailing
     alpha_prev is alphas_cumprod[0], not 1.0 (diffusers
