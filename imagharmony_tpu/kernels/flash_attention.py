@@ -13,37 +13,70 @@ This replaces the vendor-fused SDPA the reference leans on
 reference attention_processor.py:423). The tiny-K branches (text 77
 tokens, IP 4 tokens) stay on XLA where a fused softmax is already cheap.
 
-Backward: jax.custom_vjp with a recompute-based gradient (the standard
-flash backward: recompute probs per tile) so the same kernel serves
-training.
+Shape coverage: sequences are padded up to the 256 grid quantum and the
+padded key columns are masked inside the kernel, so odd resolutions (e.g.
+81×81 latents at 648²) stay on the fused path instead of silently
+regressing to XLA. Remaining fallbacks (tiny K by design, head_dim not a
+multiple of 64, non-TPU platform) warn once per shape on TPU.
+
+Backward: a Pallas kernel per (batch·head, q-block) recomputing the probs
+tile in VMEM and accumulating dk/dv across q-blocks in fp32 — nothing
+(Sq, Sk)-shaped ever reaches HBM, so training resolutions above 512² don't
+hit a memory wall. jax.custom_vjp wires it in; an XLA einsum fallback
+remains for platforms without Mosaic.
 """
 
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 
 _INTERPRET = False  # set True to debug on CPU
 
+_PAD = 256  # grid quantum: sequence lengths are padded to this multiple
+
+_warned = set()
+
+
+def _warn_once(key, msg):
+    if key not in _warned:
+        _warned.add(key)
+        warnings.warn(msg, stacklevel=3)
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform in ("tpu", "axon") or _INTERPRET
+
 
 def _use_pallas(q, k):
-    sq, sk = q.shape[-2], k.shape[-2]
+    sk = k.shape[-2]
     d = q.shape[-1]
+    if not _on_tpu():
+        return False
     if sk < 512:  # tiny-K branches: XLA softmax fusion is already optimal
         return False
-    if sq % 256 != 0 or sk % 256 != 0:
-        return False
     if d % 64 != 0:
-        return False
-    platform = jax.devices()[0].platform
-    if platform not in ("tpu", "axon") and not _INTERPRET:
+        _warn_once(
+            ("head_dim", d),
+            f"flash_attention: head_dim={d} is not a multiple of 64; "
+            "falling back to XLA attention (slower at long sequences)",
+        )
         return False
     return True
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+def _mask_cols(logits, kv_valid):
+    """-inf the key columns beyond kv_valid (padding mask)."""
+    if kv_valid is not None and kv_valid < logits.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+        logits = jnp.where(col < kv_valid, logits, -jnp.inf)
+    return logits
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_valid):
     """One (BQ, D) output tile: full-K fused attention in VMEM."""
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (Sk, D)
@@ -53,7 +86,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = logits * scale
+    logits = _mask_cols(logits * scale, kv_valid)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -65,15 +98,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     ).astype(o_ref.dtype)
 
 
-def _flash_fwd_impl(q, k, v, scale):
+def _flash_fwd_impl(q, k, v, scale, kv_len):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    # tuned on v5e: whole-row blocks win up to 1024 (fewer K/V reloads);
-    # 512 is flat-optimal at 4096 (logits tile stays ≤8 MB VMEM)
-    bq = sq if sq <= 1024 else 512
+    bq = _fwd_block_q(sq, sk)
 
     qr = q.reshape(b * h, sq, d)
     kr = k.reshape(b * h, sk, d)
@@ -81,7 +112,7 @@ def _flash_fwd_impl(q, k, v, scale):
 
     grid = (b * h, sq // bq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, kv_valid=kv_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
@@ -103,25 +134,146 @@ def _flash_fwd_impl(q, k, v, scale):
     return out.reshape(b, h, sq, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, scale):
-    return _flash_fwd_impl(q, k, v, scale)
+# ---------------------------------------------------------------------------
+# Pallas backward: probs recomputed per q-block in VMEM, dk/dv accumulated
+# in fp32 across the (sequential) q-block grid axis — no (Sq, Sk) in HBM.
+# ---------------------------------------------------------------------------
 
 
-def _flash_fwd(q, k, v, scale):
-    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+def _fwd_block_q(sq, sk):
+    """Forward q-block: tuned on v5e, whole-row blocks win up to 1024
+    (fewer K/V reloads); beyond that keep the (bq, sk) fp32 logits tile
+    ≤8 MB so the kernel stays inside the 16 MB VMEM stack."""
+    if sq <= 1024 and sq * sk * 4 <= (1 << 23):
+        return sq
+    cap = max(128, (1 << 21) // max(sk, 1))
+    for cand in (512, 256, 128):
+        if cand <= cap and sq % cand == 0:
+            return cand
+    return sq if sq < 128 else 128
 
 
-def _flash_bwd(scale, res, g):
-    """Recompute-based backward (exact): probs re-derived per head.
+def _bwd_block_q(sq, sk):
+    """Backward q-block: four (bq, sk) fp32 temporaries (logits/probs/dp/
+    dsoft) must fit VMEM alongside K/V and the fp32 dk/dv accumulators —
+    budget ~2 MB per temporary."""
+    target = max(64, min(512, (1 << 19) // max(sk, 1)))
+    for cand in (512, 256, 128, 64):
+        if cand <= target and sq % cand == 0:
+            return cand
+    return sq  # sq < 64 (already a legal single block)
 
-    Memory note: this materializes (Sq, Sk) probs per head in the XLA
-    backward — acceptable because training runs at 512² (seq ≤1024) and
-    under remat; a fully-tiled Pallas backward is a later optimization.
-    """
-    q, k, v = res
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale, kv_valid):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    q = q_ref[0]   # (BQ, D)
+    k = k_ref[0]   # (Sk, D)
+    v = v_ref[0]   # (Sk, D)
+    do = do_ref[0]  # (BQ, D)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = _mask_cols(logits * scale, kv_valid)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / denom  # fp32 (BQ, Sk); masked cols are exactly 0
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(dp * probs, axis=-1, keepdims=True)
+    dsoft = probs * (dp - delta) * scale  # fp32
+
+    dsoft_c = dsoft.astype(q.dtype)
+    probs_c = probs.astype(v.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsoft_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(
+        dsoft_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[0] += jax.lax.dot_general(
+        probs_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_bwd_impl(q, k, v, g, scale, kv_len):
+    """Pallas backward on (B, H, S, D) tensors -> (dq, dk, dv)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq = _bwd_block_q(sq, sk)
+
+    qr = q.reshape(b * h, sq, d)
+    kr = k.reshape(b * h, sk, d)
+    vr = v.reshape(b * h, sk, d)
+    gr = g.reshape(b * h, sq, d)
+
+    grid = (b * h, sq // bq)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, kv_valid=kv_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            # dk/dv revisit the same block every j step: fp32 accumulators
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the fp32 dk/dv accumulators + 4 (bq, sk) temporaries brush the
+            # default 16 MB scoped-VMEM ceiling at Sk ≥ 6k; v5e has headroom
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * h * sq * sk * d,
+            bytes_accessed=3 * (qr.size + kr.size + vr.size + gr.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+        interpret=_INTERPRET,
+    )(qr, kr, vr, gr)
+    rs = lambda x, s: x.reshape(b, h, s, d)
+    return (
+        rs(dq, sq),
+        rs(dk, sk).astype(k.dtype),
+        rs(dv, sk).astype(v.dtype),
+    )
+
+
+def _bwd_xla(q, k, v, g, scale, kv_len):
+    """Einsum fallback backward (exact; materializes (Sq, Sk) probs)."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1)
+    logits = _mask_cols(logits * scale, kv_len)
+    probs = jax.nn.softmax(logits, axis=-1)
     pv = probs.astype(g.dtype)
     dv = jnp.einsum("bhqk,bhqd->bhkd", pv, g)
     dp = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
@@ -132,18 +284,52 @@ def _flash_bwd(scale, res, g):
     return dq, dk, dv
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, kv_len):
+    return _flash_fwd_impl(q, k, v, scale, kv_len)
+
+
+def _flash_fwd(q, k, v, scale, kv_len):
+    return _flash_fwd_impl(q, k, v, scale, kv_len), (q, k, v)
+
+
+def _flash_bwd(scale, kv_len, res, g):
+    q, k, v = res
+    if _on_tpu():
+        return _flash_bwd_impl(q, k, v, g, scale, kv_len)
+    return _bwd_xla(q, k, v, g, scale, kv_len)
+
+
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _pad_seq(x, axis, to):
+    pad = (-x.shape[axis]) % to
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
 
 
 def flash_attention(q, k, v, *, scale):
     """Fused attention, or None to signal XLA fallback.
 
     q: (B, H, Sq, D); k, v: (B, H, Sk, D). No mask support (the UNet's
-    latent self-attention is unmasked; masked paths use XLA).
+    latent self-attention is unmasked; masked paths use XLA). Sequences
+    are padded to the 256 quantum internally (padded keys masked), so any
+    resolution stays on the fused path.
     """
     if not _use_pallas(q, k):
         return None
-    return _flash(q, k, v, scale)
+    sq, sk = q.shape[-2], k.shape[-2]
+    qp = _pad_seq(q, 2, _PAD)
+    kp = _pad_seq(k, 2, _PAD)
+    vp = _pad_seq(v, 2, _PAD)
+    out = _flash(qp, kp, vp, scale, sk)
+    if qp.shape[2] != sq:
+        out = out[:, :, :sq, :]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +346,8 @@ def flash_attention(q, k, v, *, scale):
 # layout directly.
 
 
-def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim, bf16_softmax):
+def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim,
+                     bf16_softmax, kv_valid):
     q = q_ref[0]  # (BQ, G) where G = lanes per group (n heads * head_dim)
     k = k_ref[0]  # (Sk, G)
     v = v_ref[0]  # (Sk, G)
@@ -172,6 +359,7 @@ def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim, bf16_softma
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        logits = _mask_cols(logits, kv_valid)
         m = jnp.max(logits, axis=-1, keepdims=True)
         if bf16_softmax:
             # fp32 max-subtraction, bf16 exp: halves the VPU softmax cost;
@@ -194,7 +382,7 @@ def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim, bf16_softma
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _flash_nhd_impl(q, k, v, scale, head_dim):
+def _flash_nhd_impl(q, k, v, scale, head_dim, kv_len):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -203,14 +391,14 @@ def _flash_nhd_impl(q, k, v, scale, head_dim):
     # lanes per grid group: pack heads up to 128 lanes (two d=64 heads);
     # d >= 128 gets one head per group
     g = head_dim if head_dim % 128 == 0 else 128
-    bq = sq if sq <= 1024 else 512
+    bq = _fwd_block_q(sq, sk)
     bf16_softmax = q.dtype == jnp.bfloat16
 
     grid = (b, hd // g, sq // bq)
     out = pl.pallas_call(
         functools.partial(
             _attn_nhd_kernel, scale=scale, head_dim=head_dim,
-            bf16_softmax=bf16_softmax,
+            bf16_softmax=bf16_softmax, kv_valid=kv_len,
         ),
         grid=grid,
         in_specs=[
@@ -233,36 +421,35 @@ def _flash_nhd_impl(q, k, v, scale, head_dim):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_nhd(q, k, v, scale, head_dim):
-    return _flash_nhd_impl(q, k, v, scale, head_dim)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_nhd(q, k, v, scale, head_dim, kv_len):
+    return _flash_nhd_impl(q, k, v, scale, head_dim, kv_len)
 
 
-def _flash_nhd_fwd(q, k, v, scale, head_dim):
-    return _flash_nhd_impl(q, k, v, scale, head_dim), (q, k, v)
+def _flash_nhd_fwd(q, k, v, scale, head_dim, kv_len):
+    return _flash_nhd_impl(q, k, v, scale, head_dim, kv_len), (q, k, v)
 
 
-def _flash_nhd_bwd(scale, head_dim, res, g):
-    """Exact recompute backward in the packed layout (XLA einsums)."""
+def _flash_nhd_bwd(scale, head_dim, kv_len, res, g):
+    """Backward in the packed layout: relayout to (B, H, S, D) and reuse the
+    Pallas backward (transpose cost ≪ an (Sq, Sk) HBM materialization)."""
     q, k, v = res
     b, sq, hd = q.shape
     h = hd // head_dim
 
     def split(x):
-        return x.reshape(x.shape[0], x.shape[1], h, head_dim)
+        return x.reshape(b, x.shape[1], h, head_dim).transpose(0, 2, 1, 3)
 
     qh, kh, vh, gh = split(q), split(k), split(v), split(g)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1)
-    pv = probs.astype(gh.dtype)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", pv, gh)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh).astype(jnp.float32)
-    dsoft = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dsoft = (dsoft * scale).astype(q.dtype)
-    dq = jnp.einsum("bhqk,bkhd->bqhd", dsoft, kh)
-    dk = jnp.einsum("bhqk,bqhd->bkhd", dsoft, qh)
-    rs = lambda x: x.reshape(b, x.shape[1], hd)
-    return rs(dq), rs(dk), rs(dv)
+    if _on_tpu():
+        dq, dk, dv = _flash_bwd_impl(qh, kh, vh, gh, scale, kv_len)
+    else:
+        dq, dk, dv = _bwd_xla(qh, kh, vh, gh, scale, kv_len)
+
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], hd)
+
+    return merge(dq), merge(dk), merge(dv)
 
 
 _flash_nhd.defvjp(_flash_nhd_fwd, _flash_nhd_bwd)
@@ -273,17 +460,33 @@ def flash_attention_nhd(q, k, v, *, scale, head_dim):
     None to signal the caller to use the head-split path.
 
     Requirements: head_dim*n == 128 for some integer n (or head_dim % 128
-    == 0), Sq/Sk % 256 == 0, Sk >= 512, TPU platform.
+    == 0), Sk >= 512, TPU platform. Sequence lengths are padded to the 256
+    quantum internally (padded keys masked).
     """
     b, sq, hd = q.shape
     sk = k.shape[1]
+    if not _on_tpu():
+        return None
+    if sk < 512:
+        return None
     if head_dim % 128 != 0 and 128 % head_dim != 0:
+        _warn_once(
+            ("nhd_head_dim", head_dim),
+            f"flash_attention_nhd: head_dim={head_dim} doesn't pack into "
+            "128 lanes; using the head-split path",
+        )
         return None
     if hd % (head_dim if head_dim % 128 == 0 else 128) != 0:
+        _warn_once(
+            ("nhd_lanes", hd, head_dim),
+            f"flash_attention_nhd: model dim {hd} isn't a whole number of "
+            "128-lane head groups; using the head-split path",
+        )
         return None
-    if sk < 512 or sq % 256 != 0 or sk % 256 != 0:
-        return None
-    platform = jax.devices()[0].platform
-    if platform not in ("tpu", "axon") and not _INTERPRET:
-        return None
-    return _flash_nhd(q, k, v, scale, head_dim)
+    qp = _pad_seq(q, 1, _PAD)
+    kp = _pad_seq(k, 1, _PAD)
+    vp = _pad_seq(v, 1, _PAD)
+    out = _flash_nhd(qp, kp, vp, scale, head_dim, sk)
+    if qp.shape[1] != sq:
+        out = out[:, :sq, :]
+    return out

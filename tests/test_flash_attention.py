@@ -57,15 +57,54 @@ def test_gradient_parity(interpret_mode):
 
 
 def test_dispatch_rules():
-    # tiny K (text/IP branches): must decline -> caller falls back to XLA
-    q, k, v = _qkv(sk=128)
-    assert fa.flash_attention(q, k, v, scale=0.125) is None
-    # non-multiple sequence: decline
-    q, k, v = _qkv(sq=300, sk=512)
-    assert fa.flash_attention(q, k, v, scale=0.125) is None
     # CPU without interpret: decline (dispatch is platform-aware)
     q, k, v = _qkv()
     assert fa.flash_attention(q, k, v, scale=0.125) is None
+
+
+def test_dispatch_rules_interpret(interpret_mode):
+    # tiny K (text/IP branches): must decline -> caller falls back to XLA
+    q, k, v = _qkv(sk=128)
+    assert fa.flash_attention(q, k, v, scale=0.125) is None
+    # head_dim not a multiple of 64: decline WITH a warning (loud fallback)
+    import warnings
+
+    fa._warned.clear()
+    q, k, v = _qkv(d=80)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert fa.flash_attention(q, k, v, scale=0.125) is None
+    assert any("head_dim" in str(x.message) for x in w)
+
+
+def test_odd_shapes_pad_and_mask(interpret_mode):
+    """Non-256-multiple sequences stay on the fused path via padding; the
+    masked padded keys must not change the math (the silent-XLA cliff of
+    round 1 is gone)."""
+    for sq, sk in ((300, 512), (256, 600), (81 * 81, 81 * 81)):
+        q, k, v = _qkv(sq=sq, sk=sk)
+        out = fa.flash_attention(q, k, v, scale=64**-0.5)
+        assert out is not None and out.shape == q.shape
+        ref = attn_lib.sdpa(q, k, v, backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_odd_shape_gradients(interpret_mode):
+    """Pallas backward under padding: padded keys/queries contribute zero."""
+    q, k, v = _qkv(sq=300, sk=520)
+
+    def loss_p(q, k, v):
+        return (fa.flash_attention(q, k, v, scale=64**-0.5) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (attn_lib.sdpa(q, k, v, backend="xla") ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
 def test_sdpa_backend_pallas_falls_back(interpret_mode):
@@ -129,10 +168,30 @@ def test_nhd_gradient_parity(interpret_mode):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
-def test_nhd_dispatch_rules():
+def test_nhd_dispatch_rules(interpret_mode):
     # head_dim that doesn't divide 128 -> decline (SD1.5's 40/80-wide heads)
     q, k, v = _packed_qkv(h=2, d=80)
     assert fa.flash_attention_nhd(q, k, v, scale=80**-0.5, head_dim=80) is None
     # tiny K declines
     q, k, v = _packed_qkv(h=2, sk=128)
     assert fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64) is None
+
+
+def test_nhd_odd_shapes(interpret_mode):
+    """Packed-layout kernel pads odd sequences and masks the padded keys."""
+    q, k, v = _packed_qkv(h=2, s=300, sk=600)
+    out = fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64)
+    assert out is not None and out.shape == q.shape
+    ref = _ref_nhd(q, k, v, 2, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def loss_p(q, k, v):
+        return (fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (_ref_nhd(q, k, v, 2, 64) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
