@@ -1,0 +1,324 @@
+"""Chunked denoising: progress callbacks + continuous (rolling) batching.
+
+The production edit path is ONE jitted program (harmony_edit._edit_jit) —
+fastest p50, but all-or-nothing: no progress feedback (reference
+demo.py:112,127 streams a per-step Gradio callback) and no way for a new
+request to join a running batch (a request arriving 0.1 s into a 4 s batch
+waits the full program).
+
+This module splits the device work into three jitted stages sharing the
+math (and therefore the outputs) of the one-jit path:
+
+1. ``prep``   — conditioning tensors for one request
+   (harmony_edit.build_conditioning, the same trace);
+2. ``chunk``  — K denoise steps with PER-ROW schedule positions: every
+   latent row carries its own step index, so rows at different denoise
+   depths share one UNet batch. Finished/empty rows are masked;
+3. ``decode`` — VAE decode of finished rows.
+
+On top sits ``SlotEngine``: S device-resident request slots; at every
+chunk boundary finished slots are decoded + freed and waiting requests are
+admitted into free slots *mid-flight* — continuous batching at denoise-step
+granularity (the TPU analog of rolling admission in LLM serving).
+
+The per-row step math is bit-identical to the scan pipeline: the same
+sched.scale_model_input_c / sched.step_c run on (B,1,1,1)-broadcast
+constants gathered per row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.models import clip_vision, unet, vae
+from imagharmony_tpu.pipelines import components as comp
+from imagharmony_tpu.pipelines import harmony_edit as he
+from imagharmony_tpu.schedulers import diffusion as sched
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfgs", "opts", "num_samples", "policy")
+)
+def _prep_jit(params, cfgs, opts, ids, pixel_values, *, num_samples, policy):
+    ctx2, pooled2, time_ids, ip2 = he.build_conditioning(
+        params, cfgs, opts, ids, pixel_values, num_samples=num_samples, policy=policy
+    )
+    return {"context": ctx2, "pooled": pooled2, "time_ids": time_ids, "ip": ip2}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfgs", "opts", "chunk", "policy", "backend"),
+)
+def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
+               chunk: int, policy, backend=None):
+    """Run ``chunk`` denoise steps; each row advances from its own step_idx.
+
+    latents: (S, h, w, 4); step_idx: (S,) int32 — rows with
+    step_idx >= num_steps are frozen (finished or empty slots).
+    bundle: conditioning dict with (2S, ...) rows in [uncond | cond] order.
+    """
+    schedule = sched.make(
+        opts.scheduler, opts.num_inference_steps,
+        sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+        denoising_end=opts.denoising_end,
+    )
+    n = schedule.num_steps
+    ts = schedule.timesteps
+    sigmas = schedule.sigmas
+    ip_arr = jnp.asarray(he.ip_scale_schedule(opts)[:n])
+    kind = schedule.kind
+    s = latents.shape[0]
+
+    def body(carry, _):
+        lat, idx = carry
+        active = idx < n
+        ci = jnp.clip(idx, 0, n - 1)
+        t = jnp.take(ts, ci)                      # (S,)
+        sig = jnp.take(sigmas, ci)
+        sig_n = jnp.take(sigmas, ci + 1)
+        ip_s = jnp.take(ip_arr, ci)
+
+        r1 = lambda x: x.reshape(s, 1, 1, 1)
+        r2 = lambda x: jnp.concatenate([x, x]).reshape(2 * s, 1, 1, 1)
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = sched.scale_model_input_c(kind, r2(sig), lat_in)
+        eps = unet.apply(
+            params["unet"], cfgs.unet, lat_in,
+            jnp.concatenate([t, t]),
+            bundle["context"],
+            pooled_text_embeds=bundle["pooled"],
+            time_ids=bundle["time_ids"],
+            ip_tokens=bundle["ip"],
+            ip_scale=r2(ip_s),
+            policy=policy,
+            backend=backend,
+        )
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps_g = eps_u + opts.guidance_scale * (eps_c - eps_u)
+        if opts.guidance_rescale > 0.0:
+            eps_g = he.rescale_noise_cfg(eps_g, eps_c, opts.guidance_rescale)
+        stepped = sched.step_c(kind, r1(sig), r1(sig_n), eps_g, lat)
+        lat = jnp.where(r1(active), stepped, lat)
+        idx = idx + active.astype(idx.dtype)
+        return (lat, idx), ()
+
+    (latents, step_idx), _ = jax.lax.scan(body, (latents, step_idx), None, length=chunk)
+    return latents, step_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs", "opts", "policy"))
+def _decode_jit(params, cfgs, opts, latents, *, policy):
+    vae_policy = (
+        policy if policy.compute_dtype == jnp.bfloat16
+        else dtypes.Policy(compute_dtype=jnp.float32)
+    )
+    if opts.tile_vae:
+        return vae.decode_tiled(params["vae"], cfgs.vae, latents, policy=vae_policy)
+    return vae.decode(params["vae"], cfgs.vae, latents, policy=vae_policy)
+
+
+@jax.jit
+def _write_slot(latents, step_idx, bundle, lat1, bundle1, i):
+    """Install a prepared request into slot i (device-side row writes)."""
+    s = latents.shape[0]
+    latents = latents.at[i].set(lat1[0])
+    step_idx = step_idx.at[i].set(0)
+
+    def wr(dst, src):
+        dst = dst.at[i].set(src[0])
+        return dst.at[s + i].set(src[1])
+
+    bundle = jax.tree.map(wr, bundle, bundle1)
+    return latents, step_idx, bundle
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: object = None  # opaque caller token
+    started: float = 0.0
+
+
+class SlotEngine:
+    """S device-resident request slots advanced K steps at a time.
+
+    All admitted requests share the static EditOptions (the serving layer
+    groups by batch key exactly as before); rows differ in conditioning,
+    noise and schedule position. Empty slots run masked (their rows compute
+    but don't advance) — the price of a static batch shape.
+    """
+
+    def __init__(self, pipe, opts: he.EditOptions, *, slots: int = 4,
+                 chunk: int = 5):
+        if pipe.cfgs.controlnet is not None:
+            raise NotImplementedError(
+                "continuous batching does not support the ControlNet branch; "
+                "use request-level packing (generate_batch)"
+            )
+        self.pipe = pipe
+        self.opts = opts
+        self.num_slots = slots
+        self.chunk = chunk
+        self.num_steps = sched.make(
+            opts.scheduler, opts.num_inference_steps,
+            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+            denoising_end=opts.denoising_end,
+        ).num_steps
+        self.slots: List[_Slot] = [_Slot() for _ in range(slots)]
+
+        down = pipe.cfgs.vae.downscale
+        h, w = opts.height // down, opts.width // down
+        dt = pipe.policy.compute_dtype
+        self.latents = jnp.zeros((slots, h, w, 4), dt)
+        # empty slots sit at num_steps (finished ≡ frozen)
+        self.step_idx = jnp.full((slots,), self.num_steps, jnp.int32)
+        self.bundle = None  # allocated on first admit (shapes from prep)
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def prepare(self, *, pil_image=None, prompt=None, negative_prompt=None,
+                extra_text=None, seed=0):
+        """Host prep for one request -> (lat1, bundle1) device values."""
+        pipe, opts = self.pipe, self.opts
+        prompt = prompt or he.DEFAULT_PROMPT
+        negative_prompt = negative_prompt or he.DEFAULT_NEGATIVE
+        if pil_image is None:
+            pil_image = np.zeros((64, 64, 3), np.uint8)
+        pixel_values = jnp.asarray(
+            clip_vision.preprocess_numpy(
+                pil_image, image_size=pipe.cfgs.vision.image_size
+            )[:1]
+        )
+        ids = {}
+        ids["pos_l"], ids["pos_g"] = pipe._tokenize(prompt)
+        ids["neg_l"], ids["neg_g"] = pipe._tokenize(negative_prompt)
+        use_harmony = extra_text is not None
+        if use_harmony:
+            ids["extra_l"], ids["extra_g"] = pipe._tokenize(extra_text)
+        opts1 = dataclasses.replace(opts, use_harmony=use_harmony)
+        bundle1 = _prep_jit(
+            pipe.params, pipe.cfgs, opts1, ids, pixel_values,
+            num_samples=1, policy=pipe.policy,
+        )
+        down = pipe.cfgs.vae.downscale
+        noise = jax.random.normal(
+            jax.random.PRNGKey(int(seed)),
+            (1, opts.height // down, opts.width // down, 4), jnp.float32,
+        )
+        schedule = sched.make(
+            opts.scheduler, opts.num_inference_steps,
+            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+            denoising_end=opts.denoising_end,
+        )
+        lat1 = (noise * schedule.init_noise_sigma).astype(pipe.policy.compute_dtype)
+        return lat1, bundle1
+
+    def free_slots(self) -> List[int]:
+        return [i for i, sl in enumerate(self.slots) if sl.request is None]
+
+    def active(self) -> int:
+        return sum(1 for sl in self.slots if sl.request is not None)
+
+    def admit(self, request_token, *, pil_image=None, prompt=None,
+              negative_prompt=None, extra_text=None, seed=0) -> int:
+        """Place a request into a free slot (mid-flight is fine). Returns
+        the slot index; raises if no slot is free."""
+        free = self.free_slots()
+        if not free:
+            raise RuntimeError("no free slot")
+        i = free[0]
+        lat1, bundle1 = self.prepare(
+            pil_image=pil_image, prompt=prompt,
+            negative_prompt=negative_prompt, extra_text=extra_text, seed=seed,
+        )
+        if self.bundle is None:
+            # allocate the slot-bundle from the first request's shapes
+            def alloc(x):
+                return jnp.zeros((2 * self.num_slots,) + x.shape[1:], x.dtype)
+
+            self.bundle = jax.tree.map(alloc, bundle1)
+        self.latents, self.step_idx, self.bundle = _write_slot(
+            self.latents, self.step_idx, self.bundle, lat1, bundle1,
+            jnp.int32(i),
+        )
+        self.slots[i] = _Slot(request=request_token, started=time.time())
+        return i
+
+    def run_chunk(self):
+        """Advance every active row by up to ``chunk`` steps."""
+        self.latents, self.step_idx = _chunk_jit(
+            self.pipe.params, self.pipe.cfgs, self.opts,
+            self.latents, self.step_idx, self.bundle,
+            chunk=self.chunk, policy=self.pipe.policy, backend=self.pipe.backend,
+        )
+
+    def progress(self) -> np.ndarray:
+        """Per-slot step position (host fetch)."""
+        return np.asarray(self.step_idx)
+
+    def harvest(self):
+        """Decode + free finished slots. Returns [(request_token, uint8 img)]."""
+        idx = self.progress()
+        done = [
+            i for i, sl in enumerate(self.slots)
+            if sl.request is not None and idx[i] >= self.num_steps
+        ]
+        out = []
+        for i in done:
+            img = _decode_jit(
+                self.pipe.params, self.pipe.cfgs, self.opts,
+                self.latents[i:i + 1], policy=self.pipe.policy,
+            )
+            out.append((self.slots[i].request, he.to_uint8(img)[0]))
+            self.slots[i] = _Slot()
+        return out
+
+
+def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
+                     extra_text=None, seed=0, num_samples=1,
+                     chunk_steps=5,
+                     callback_on_step_end: Optional[Callable] = None,
+                     output_type="np", **opts_kw):
+    """generate() through the chunked runner: same math as the one-jit path,
+    plus a host callback(step_index, latents) at every chunk boundary — the
+    TPU equivalent of the reference's per-step Gradio progress callback
+    (reference demo.py:112,127).
+    """
+    opts = he.EditOptions(
+        use_harmony=extra_text is not None,
+        ip_scale=opts_kw.pop("scale", 1.0),
+        num_inference_steps=opts_kw.pop("num_inference_steps", 30),
+        **opts_kw,
+    )
+    eng = SlotEngine(pipe, opts, slots=num_samples, chunk=chunk_steps)
+    seeds = seed if isinstance(seed, (list, tuple)) else [
+        (0 if seed is None else int(seed)) + i for i in range(num_samples)
+    ]
+    for i, s in enumerate(seeds):
+        eng.admit(i, pil_image=pil_image, prompt=prompt,
+                  negative_prompt=negative_prompt, extra_text=extra_text, seed=s)
+    n = eng.num_steps
+    done = 0
+    while done < n:
+        eng.run_chunk()
+        done = int(eng.progress().min())
+        if callback_on_step_end is not None:
+            callback_on_step_end(done, eng.latents)
+    images = _decode_jit(
+        pipe.params, pipe.cfgs, opts, eng.latents, policy=pipe.policy
+    )
+    if output_type == "raw":
+        return images
+    arr = he.to_uint8(images)
+    if output_type == "pil":
+        from PIL import Image
+
+        return [Image.fromarray(a) for a in arr]
+    return arr

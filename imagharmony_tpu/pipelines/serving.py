@@ -222,8 +222,136 @@ class BatchingWorker(threading.Thread):
         }
 
 
-def make_server(pipe, port=7860, **worker_kw):
-    worker = BatchingWorker(pipe, **worker_kw)
+def _payload_image(p):
+    from PIL import Image
+
+    if p.get("image"):
+        return Image.open(io.BytesIO(base64.b64decode(p["image"])))
+    return Image.fromarray(
+        np.random.default_rng(int(p.get("seed", 0))).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8
+        )
+    )
+
+
+class ContinuousWorker(threading.Thread):
+    """Continuous batching: requests join a RUNNING batch at denoise-step
+    granularity instead of waiting for the current program to finish.
+
+    The device keeps ``max_batch`` request slots advanced ``chunk`` steps at
+    a time (pipelines/continuous.SlotEngine); at every chunk boundary
+    finished slots are decoded and freed, and queued requests with the same
+    static options are admitted into free slots mid-flight. Requests with a
+    different batch key wait until the engine drains.
+    """
+
+    def __init__(self, pipe, *, max_batch=4, chunk=5, max_wait_s=0.05):
+        super().__init__(daemon=True)
+        self.pipe = pipe
+        self.max_batch = max_batch
+        self.chunk = chunk
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.running = True
+        self.pack_errors = 0
+        # (wall_time, engine_min_step_at_admit) per admission — observability
+        # + test hook proving mid-flight joins
+        self.admissions = []
+
+    def submit(self, payload) -> _Request:
+        req = _Request(payload)
+        req._t0 = time.time()
+        self.q.put(req)
+        return req
+
+    def _make_engine(self, req):
+        from imagharmony_tpu.pipelines import continuous
+        from imagharmony_tpu.pipelines.harmony_edit import EditOptions
+
+        p = req.payload
+        opts = EditOptions(
+            height=int(p.get("height", 1024)),
+            width=int(p.get("width", 1024)),
+            num_inference_steps=int(p.get("steps", 30)),
+            scheduler=str(p.get("scheduler", "euler")),
+            guidance_scale=float(p.get("guidance_scale", 5.0)),
+            ip_scale=float(p.get("scale", 1.0)),
+            use_harmony=bool(p.get("extra_text")),
+        )
+        return continuous.SlotEngine(
+            self.pipe, opts, slots=self.max_batch, chunk=self.chunk
+        )
+
+    def _admit(self, engine, req):
+        p = req.payload
+        engine.admit(
+            req,
+            pil_image=np.asarray(_payload_image(p).convert("RGB")),
+            prompt=p.get("prompt") or None,
+            negative_prompt=p.get("negative_prompt") or None,
+            extra_text=p.get("extra_text") or None,
+            seed=int(p.get("seed", 42)),
+        )
+
+    def run(self):
+        engine = None
+        key = None
+        pending = []
+        while self.running:
+            try:
+                pending.append(self.q.get(timeout=0.02 if engine else 0.2))
+            except queue.Empty:
+                pass
+            if engine is None and pending:
+                first = pending[0]
+                try:
+                    engine = self._make_engine(first)
+                    key = first.batch_key()
+                except Exception as e:
+                    log.error("continuous engine init failed: %s", e)
+                    first.error = f"{type(e).__name__}: {e}"
+                    first.event.set()
+                    pending.pop(0)
+                    continue
+            if engine is None:
+                continue
+
+            still = []
+            for req in pending:
+                if req.batch_key() == key and engine.free_slots():
+                    prog = engine.progress()
+                    mid = int(prog.min()) if engine.active() else 0
+                    try:
+                        self._admit(engine, req)
+                        self.admissions.append((time.time(), mid))
+                    except Exception as e:
+                        log.error("admission failed:\n%s", traceback.format_exc())
+                        self.pack_errors += 1
+                        req.error = f"{type(e).__name__}: {e}"
+                        req.event.set()
+                else:
+                    still.append(req)
+            pending = still
+
+            if engine.active():
+                engine.run_chunk()
+                for req, img in engine.harvest():
+                    from PIL import Image
+
+                    buf = io.BytesIO()
+                    Image.fromarray(img).save(buf, format="PNG")
+                    req.result = {
+                        "image": base64.b64encode(buf.getvalue()).decode(),
+                        "seconds": time.time() - req._t0 if hasattr(req, "_t0") else 0.0,
+                        "continuous": True,
+                    }
+                    req.event.set()
+            elif not pending:
+                engine = None  # drain: allow a different batch key next
+
+
+def make_server(pipe, port=7860, *, continuous=False, **worker_kw):
+    worker_cls = ContinuousWorker if continuous else BatchingWorker
+    worker = worker_cls(pipe, **worker_kw)
     worker.start()
 
     class Handler(BaseHTTPRequestHandler):
@@ -279,6 +407,9 @@ def main(args):
     else:
         print("no --model-dir: serving the random tiny pipeline (demo mode)")
         pipe = HarmonyPipeline.random_tiny()
-    server = make_server(pipe, port=args.port)
-    print(f"serving on http://0.0.0.0:{args.port}")
+    server = make_server(
+        pipe, port=args.port, continuous=getattr(args, "continuous", False)
+    )
+    mode = "continuous" if getattr(args, "continuous", False) else "packed"
+    print(f"serving on http://0.0.0.0:{args.port} ({mode} batching)")
     server.serve_forever()
