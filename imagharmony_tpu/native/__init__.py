@@ -21,28 +21,46 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "image_ops.cpp")
 _OUT = os.path.join(os.path.dirname(__file__), "_image_ops.so")
+_HASH = _OUT + ".src-sha256"
 
 
-def _build():
+def _src_hash() -> str:
+    import hashlib
+
+    with open(os.path.abspath(_SRC), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str):
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
         os.path.abspath(_SRC), "-o", _OUT,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_HASH, "w") as f:
+        f.write(src_hash)
 
 
 def load():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    The .so is never checked in (unreviewable binary); it is rebuilt from
+    csrc/image_ops.cpp whenever the recorded source hash doesn't match, so
+    a stale or foreign binary can't be silently loaded.
+    """
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
         try:
-            if not os.path.exists(_OUT) or os.path.getmtime(_OUT) < os.path.getmtime(
-                os.path.abspath(_SRC)
-            ):
-                _build()
+            want = _src_hash()
+            have = None
+            if os.path.exists(_OUT) and os.path.exists(_HASH):
+                with open(_HASH) as f:
+                    have = f.read().strip()
+            if have != want:
+                _build(want)
             lib = ctypes.CDLL(_OUT)
             lib.image_ops_abi_version.restype = ctypes.c_int
             assert lib.image_ops_abi_version() == 1
