@@ -62,6 +62,9 @@ class EditOptions:
     # stop at a fraction of the schedule (mixture-of-denoisers handoff,
     # reference custom_pipelines.py:308-316)
     denoising_end: Optional[float] = None
+    # refiner side of the handoff: skip the first fraction and consume
+    # already-noisy input latents (generate(latents=..., denoising_start=x))
+    denoising_start: Optional[float] = None
     # skip the VAE and return pre-decode latents (B, h, w, 4) — the
     # reference pipeline's output_type="latent" split
     # (custom_pipelines.py:361-377)
@@ -285,12 +288,17 @@ def _edit_jit(
     policy: dtypes.Policy = dtypes.DEFAULT,
     backend: Optional[str] = None,
 ):
+    cfg_sched = sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing)
     schedule = sched.make(
-        opts.scheduler, opts.num_inference_steps,
-        sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
-        denoising_end=opts.denoising_end,
+        opts.scheduler, opts.num_inference_steps, cfg_sched,
+        denoising_end=opts.denoising_end, denoising_start=opts.denoising_start,
     )
-    ip_scales = ip_scale_schedule(opts)[: schedule.num_steps]
+    n_skip = 0
+    if opts.denoising_start is not None and 0.0 < opts.denoising_start < 1.0:
+        n_skip = sched.steps_for_denoising_end(
+            opts.num_inference_steps, opts.denoising_start, cfg_sched
+        )
+    ip_scales = ip_scale_schedule(opts)[n_skip: n_skip + schedule.num_steps]
 
     context2, pooled2, time_ids, ip2 = build_conditioning(
         params, cfgs, opts, ids, pixel_values, num_samples=num_samples, policy=policy
@@ -428,6 +436,8 @@ class HarmonyPipeline:
         controlnet_conditioning_scale: float = 1.0,
         guidance_rescale: float = 0.0,
         denoising_end: Optional[float] = None,
+        denoising_start: Optional[float] = None,
+        latents=None,
         timestep_spacing: str = "leading",
         original_size=None,
         crops_coords_top_left=(0, 0),
@@ -487,6 +497,7 @@ class HarmonyPipeline:
             tile_vae=tile_vae,
             guidance_rescale=guidance_rescale,
             denoising_end=denoising_end,
+            denoising_start=denoising_start,
             timestep_spacing=timestep_spacing,
             original_size=tuple(original_size) if original_size else None,
             crops_coords_top_left=tuple(crops_coords_top_left),
@@ -503,7 +514,15 @@ class HarmonyPipeline:
 
         down = self.cfgs.vae.downscale
         lat_shape = (1, height // down, width // down, 4)
-        if isinstance(seed, (list, tuple)):
+        if latents is not None:
+            # refiner-stage input: already-noisy latents from a base run with
+            # denoising_end (reference custom_pipelines.py:308-316 handoff);
+            # the tail schedule applies no init_noise_sigma scaling
+            assert denoising_start is not None, (
+                "latents= requires denoising_start= (the base run's denoising_end)"
+            )
+            noise = jnp.asarray(latents)
+        elif isinstance(seed, (list, tuple)):
             # per-sample seed list (reference get_generator semantics,
             # ip_adapter/utils.py:83-93)
             assert len(seed) == num_samples, "len(seed) must equal num_samples"

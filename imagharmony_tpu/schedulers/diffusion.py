@@ -233,8 +233,20 @@ def _truncate(schedule: Schedule, n: int) -> Schedule:
     )
 
 
+def _tail(schedule: Schedule, n_skip: int) -> Schedule:
+    """Drop the first n_skip steps — the refiner side of a
+    denoising_end/denoising_start handoff (the input latents are already at
+    the sigma level of step n_skip, so init_noise_sigma must not be applied)."""
+    return Schedule(
+        kind=schedule.kind,
+        timesteps=schedule.timesteps[n_skip:],
+        sigmas=schedule.sigmas[n_skip:],
+        init_noise_sigma=1.0,
+    )
+
+
 def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConfig(),
-         *, denoising_end=None) -> Schedule:
+         *, denoising_end=None, denoising_start=None) -> Schedule:
     if kind == "euler":
         s = euler_schedule(num_steps, cfg)
     elif kind == "ddim":
@@ -243,4 +255,8 @@ def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConf
         raise ValueError(f"unknown scheduler kind {kind!r}")
     if denoising_end is not None and 0.0 < denoising_end < 1.0:
         s = _truncate(s, steps_for_denoising_end(num_steps, denoising_end, cfg))
+    if denoising_start is not None and 0.0 < denoising_start < 1.0:
+        # the complement split: a base run with denoising_end=x ran the first
+        # steps_for_denoising_end(x) steps; the refiner runs the rest
+        s = _tail(s, steps_for_denoising_end(num_steps, denoising_start, cfg))
     return s

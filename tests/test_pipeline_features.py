@@ -178,3 +178,18 @@ def test_timestep_spacing_fast_preset(pipe, ref_image):
     a = _gen(pipe, ref_image, timestep_spacing="leading")
     b = _gen(pipe, ref_image, timestep_spacing="trailing")
     assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
+def test_denoising_start_refiner_handoff(pipe, ref_image):
+    """Base run with denoising_end hands latents to a refiner-style run with
+    denoising_start; the composition equals the single full run exactly
+    (reference custom_pipelines.py:308-316 mixture-of-denoisers split)."""
+    kw = dict(prompt="a dog", extra_text="six dogs", num_inference_steps=4,
+              height=32, width=32, seed=7)
+    full = pipe.generate(pil_image=ref_image, output_type="np", **kw)
+    lat = pipe.generate(pil_image=ref_image, denoising_end=0.5,
+                        output_type="latent", **kw)
+    assert lat.shape[-1] == 4  # pre-VAE latents
+    out = pipe.generate(pil_image=ref_image, latents=lat, denoising_start=0.5,
+                        output_type="np", **kw)
+    np.testing.assert_array_equal(full, out)
