@@ -253,6 +253,7 @@ class ContinuousWorker(threading.Thread):
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self.running = True
         self.pack_errors = 0
+        self._engine = None
         # (wall_time, engine_min_step_at_admit) per admission — observability
         # + test hook proving mid-flight joins
         self.admissions = []
@@ -292,10 +293,31 @@ class ContinuousWorker(threading.Thread):
             seed=int(p.get("seed", 42)),
         )
 
+    def status(self):
+        """Live engine state for GET /status (only meaningful with the
+        chunked engine: per-slot denoise positions)."""
+        eng = self._engine
+        if eng is None:
+            return {"mode": "continuous", "active": 0, "queued": self.q.qsize()}
+        prog = eng.progress().tolist()
+        return {
+            "mode": "continuous",
+            "active": eng.active(),
+            "queued": self.q.qsize(),
+            "num_steps": eng.num_steps,
+            "slot_steps": [
+                (int(p) if sl.request is not None else None)
+                for p, sl in zip(prog, eng.slots)
+            ],
+            "admissions": len(self.admissions),
+            "pack_errors": self.pack_errors,
+        }
+
     def run(self):
         engine = None
         key = None
         pending = []
+        self._engine = None
         while self.running:
             try:
                 pending.append(self.q.get(timeout=0.02 if engine else 0.2))
@@ -305,6 +327,7 @@ class ContinuousWorker(threading.Thread):
                 first = pending[0]
                 try:
                     engine = self._make_engine(first)
+                    self._engine = engine
                     key = first.batch_key()
                 except Exception as e:
                     log.error("continuous engine init failed: %s", e)
@@ -347,6 +370,7 @@ class ContinuousWorker(threading.Thread):
                     req.event.set()
             elif not pending:
                 engine = None  # drain: allow a different batch key next
+                self._engine = None
 
 
 def make_server(pipe, port=7860, *, continuous=False, **worker_kw):
@@ -369,6 +393,15 @@ def make_server(pipe, port=7860, *, continuous=False, **worker_kw):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, json.dumps({"ok": True}))
+            elif self.path == "/status":
+                if hasattr(worker, "status"):
+                    self._send(200, json.dumps(worker.status()))
+                else:
+                    self._send(200, json.dumps({
+                        "mode": "packed",
+                        "queued": worker.q.qsize(),
+                        "pack_errors": worker.pack_errors,
+                    }))
             elif self.path == "/":
                 self._send(200, _HTML, "text/html")
             else:

@@ -103,3 +103,44 @@ def test_concurrent_requests_batch(server):
         t.join(timeout=600)
     assert len(results) == 2
     assert all("image" in r for r in results)
+
+
+@pytest.fixture(scope="module")
+def cont_server():
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    srv = serving.make_server(pipe, port=0, continuous=True, max_batch=2, chunk=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.worker.running = False
+
+
+def test_continuous_http_roundtrip(cont_server):
+    """HTTP layer over the continuous engine: concurrent requests complete,
+    /status reports engine state."""
+    from PIL import Image
+
+    with urllib.request.urlopen(_url(cont_server, "/status"), timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["mode"] == "continuous"
+
+    results = []
+
+    def go(seed):
+        results.append(
+            _post(cont_server, {"prompt": "a dog", "steps": 3,
+                                "height": 32, "width": 32, "seed": seed})
+        )
+
+    ts = [threading.Thread(target=go, args=(s,)) for s in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert len(results) == 2
+    for r in results:
+        assert r.get("continuous") is True
+        got = Image.open(io.BytesIO(base64.b64decode(r["image"])))
+        assert got.size == (32, 32)
+    assert len(cont_server.worker.admissions) == 2
