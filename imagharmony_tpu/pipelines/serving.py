@@ -356,18 +356,30 @@ class ContinuousWorker(threading.Thread):
             pending = still
 
             if engine.active():
-                engine.run_chunk()
-                for req, img in engine.harvest():
-                    from PIL import Image
+                try:
+                    engine.run_chunk()
+                    for req, img in engine.harvest():
+                        from PIL import Image
 
-                    buf = io.BytesIO()
-                    Image.fromarray(img).save(buf, format="PNG")
-                    req.result = {
-                        "image": base64.b64encode(buf.getvalue()).decode(),
-                        "seconds": time.time() - req._t0 if hasattr(req, "_t0") else 0.0,
-                        "continuous": True,
-                    }
-                    req.event.set()
+                        buf = io.BytesIO()
+                        Image.fromarray(img).save(buf, format="PNG")
+                        req.result = {
+                            "image": base64.b64encode(buf.getvalue()).decode(),
+                            "seconds": time.time() - req._t0 if hasattr(req, "_t0") else 0.0,
+                            "continuous": True,
+                        }
+                        req.event.set()
+                except Exception as e:
+                    # a chunk/decode failure must fail the affected requests,
+                    # not kill the worker thread
+                    log.error("continuous chunk failed:\n%s", traceback.format_exc())
+                    self.pack_errors += 1
+                    for sl in engine.slots:
+                        if sl.request is not None:
+                            sl.request.error = f"{type(e).__name__}: {e}"
+                            sl.request.event.set()
+                    engine = None
+                    self._engine = None
             elif not pending:
                 engine = None  # drain: allow a different batch key next
                 self._engine = None

@@ -195,3 +195,16 @@ def test_nhd_odd_shapes(interpret_mode):
     gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_block_size_rules():
+    """Block choices divide the (padded) sequence and respect VMEM budgets."""
+    for sq in (256, 512, 1024, 4096, 6656):
+        for sk in (512, 1024, 4096, 6656):
+            bq = fa._fwd_block_q(sq, sk)
+            assert sq % bq == 0, (sq, sk, bq)
+            # logits-tile budget: whole-row only when <= 8 MB
+            assert bq * sk * 4 <= (1 << 23) or bq == 128, (sq, sk, bq)
+            bb = fa._bwd_block_q(sq, sk)
+            assert sq % bb == 0, (sq, sk, bb)
+            assert bb * sk * 4 <= (1 << 21) or bb == 64, (sq, sk, bb)

@@ -115,3 +115,21 @@ def test_parity_cli_against_reference_format(tmp_path, ref_image):
     rep = parity.compare(ours, parity.load(ref))
     assert rep["min_cosine"] > 1.0 - 1e-9, rep
     assert len(rep["per_step_cosine"]) == 2
+
+
+def test_parity_cli_compare_two_files(tmp_path, ref_image):
+    """`imagharmony parity --ours A --theirs B` file-compare mode."""
+    from imagharmony_tpu import cli
+
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    cap = parity.run_capture(pipe, ref_image, prompt="a dog", steps=2,
+                             height=32, width=32)
+    a, b = tmp_path / "a.npz", tmp_path / "b.npz"
+    parity.save(a, cap)
+    parity.save(b, cap)
+    rep = cli.cmd_parity(type("A", (), {
+        "ours": str(a), "theirs": str(b), "target": 0.999,
+        "model_dir": None, "adapter_ckpt": None, "image_encoder_dir": None,
+        "input": None, "save": None, "prompt": "", "steps": 2, "size": 32,
+        "seed": 0, "scheduler": "euler"})())
+    assert rep["pass"] and rep["min_cosine"] > 1 - 1e-9
