@@ -63,7 +63,9 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
 
     latents: (S, h, w, 4); step_idx: (S,) int32 — rows with
     step_idx >= num_steps are frozen (finished or empty slots).
-    bundle: conditioning dict with (2S, ...) rows in [uncond | cond] order.
+    bundle: conditioning dict with (2S, ...) rows in [uncond | cond] order;
+    an optional "control" entry (2S, Hc, Wc, 3) runs the ControlNet branch
+    per step (per-row control images, CFG-duplicated like the other rows).
     """
     schedule = sched.make(
         opts.scheduler, opts.num_inference_steps,
@@ -90,14 +92,29 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
         r2 = lambda x: jnp.concatenate([x, x]).reshape(2 * s, 1, 1, 1)
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = sched.scale_model_input_c(kind, r2(sig), lat_in)
+        t2 = jnp.concatenate([t, t])
+        down_res = mid_res = None
+        if "control" in bundle:
+            from imagharmony_tpu.models import controlnet as controlnet_lib
+
+            down_res, mid_res = controlnet_lib.apply(
+                params["controlnet"], cfgs.controlnet, lat_in, t2,
+                bundle["context"], bundle["control"],
+                pooled_text_embeds=bundle["pooled"],
+                time_ids=bundle["time_ids"],
+                conditioning_scale=opts.controlnet_scale,
+                backend=backend, policy=policy,
+            )
         eps = unet.apply(
             params["unet"], cfgs.unet, lat_in,
-            jnp.concatenate([t, t]),
+            t2,
             bundle["context"],
             pooled_text_embeds=bundle["pooled"],
             time_ids=bundle["time_ids"],
             ip_tokens=bundle["ip"],
             ip_scale=r2(ip_s),
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
             policy=policy,
             backend=backend,
         )
@@ -156,12 +173,16 @@ class SlotEngine:
     """
 
     def __init__(self, pipe, opts: he.EditOptions, *, slots: int = 4,
-                 chunk: int = 5):
-        if pipe.cfgs.controlnet is not None:
-            raise NotImplementedError(
-                "continuous batching does not support the ControlNet branch; "
-                "use request-level packing (generate_batch)"
-            )
+                 chunk: int = 5, use_controlnet: Optional[bool] = None):
+        # The CN branch is a static per-engine choice (a static UNet batch
+        # can't skip it per row); requests admitted without a control image
+        # run on an all-zero cond — document, don't silently diverge.
+        self.use_controlnet = (
+            pipe.cfgs.controlnet is not None
+            if use_controlnet is None else use_controlnet
+        )
+        if self.use_controlnet and pipe.cfgs.controlnet is None:
+            raise ValueError("use_controlnet=True but the pipeline has no ControlNet")
         self.pipe = pipe
         self.opts = opts
         self.num_slots = slots
@@ -184,7 +205,7 @@ class SlotEngine:
     # -- request lifecycle ---------------------------------------------------
 
     def prepare(self, *, pil_image=None, prompt=None, negative_prompt=None,
-                extra_text=None, seed=0):
+                extra_text=None, seed=0, control_image=None):
         """Host prep for one request -> (lat1, bundle1) device values."""
         pipe, opts = self.pipe, self.opts
         prompt = prompt or he.DEFAULT_PROMPT
@@ -207,6 +228,22 @@ class SlotEngine:
             pipe.params, pipe.cfgs, opts1, ids, pixel_values,
             num_samples=1, policy=pipe.policy,
         )
+        if self.use_controlnet:
+            if control_image is not None:
+                cond = he.preprocess_control(
+                    pipe.cfgs, control_image, opts.height, opts.width
+                )
+            else:
+                scale_px = 2 ** (
+                    len(pipe.cfgs.controlnet.conditioning_embedding_channels) - 1
+                )
+                d = pipe.cfgs.vae.downscale
+                cond = np.zeros(
+                    (1, (opts.height // d) * scale_px,
+                     (opts.width // d) * scale_px, 3), np.float32,
+                )
+            cond = pipe.policy.cast(jnp.asarray(cond))
+            bundle1 = dict(bundle1, control=jnp.concatenate([cond, cond]))
         down = pipe.cfgs.vae.downscale
         noise = jax.random.normal(
             jax.random.PRNGKey(int(seed)),
@@ -227,7 +264,8 @@ class SlotEngine:
         return sum(1 for sl in self.slots if sl.request is not None)
 
     def admit(self, request_token, *, pil_image=None, prompt=None,
-              negative_prompt=None, extra_text=None, seed=0) -> int:
+              negative_prompt=None, extra_text=None, seed=0,
+              control_image=None) -> int:
         """Place a request into a free slot (mid-flight is fine). Returns
         the slot index; raises if no slot is free."""
         free = self.free_slots()
@@ -237,6 +275,7 @@ class SlotEngine:
         lat1, bundle1 = self.prepare(
             pil_image=pil_image, prompt=prompt,
             negative_prompt=negative_prompt, extra_text=extra_text, seed=seed,
+            control_image=control_image,
         )
         if self.bundle is None:
             # allocate the slot-bundle from the first request's shapes
@@ -285,7 +324,7 @@ def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
                      extra_text=None, seed=0, num_samples=1,
                      chunk_steps=5,
                      callback_on_step_end: Optional[Callable] = None,
-                     output_type="np", **opts_kw):
+                     output_type="np", control_image=None, **opts_kw):
     """generate() through the chunked runner: same math as the one-jit path,
     plus a host callback(step_index, latents) at every chunk boundary — the
     TPU equivalent of the reference's per-step Gradio progress callback
@@ -297,13 +336,15 @@ def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
         num_inference_steps=opts_kw.pop("num_inference_steps", 30),
         **opts_kw,
     )
-    eng = SlotEngine(pipe, opts, slots=num_samples, chunk=chunk_steps)
+    eng = SlotEngine(pipe, opts, slots=num_samples, chunk=chunk_steps,
+                     use_controlnet=control_image is not None)
     seeds = seed if isinstance(seed, (list, tuple)) else [
         (0 if seed is None else int(seed)) + i for i in range(num_samples)
     ]
     for i, s in enumerate(seeds):
         eng.admit(i, pil_image=pil_image, prompt=prompt,
-                  negative_prompt=negative_prompt, extra_text=extra_text, seed=s)
+                  negative_prompt=negative_prompt, extra_text=extra_text,
+                  seed=s, control_image=control_image)
     n = eng.num_steps
     done = 0
     while done < n:

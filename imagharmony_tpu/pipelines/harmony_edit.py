@@ -350,6 +350,25 @@ def to_uint8(images) -> np.ndarray:
     return (np.clip(arr / 2 + 0.5, 0.0, 1.0) * 255).round().astype(np.uint8)
 
 
+def preprocess_control(cfgs, control_image, height, width):
+    """Resize + [0,1]-normalize one control image to the ControlNet cond
+    resolution: latent size × 2^(stride-2 convs in the cond embedding).
+    Returns (1, Hc, Wc, 3) float32. Shared by the one-jit, batched and
+    continuous paths (reference pins cond to the pixel resolution the
+    conditioning_embedding downsamples back to latent size)."""
+    from PIL import Image as _Image
+
+    if isinstance(control_image, np.ndarray):
+        control_image = _Image.fromarray(control_image.astype(np.uint8))
+    scale_px = 2 ** (len(cfgs.controlnet.conditioning_embedding_channels) - 1)
+    down = cfgs.vae.downscale
+    ch, cw = (height // down) * scale_px, (width // down) * scale_px
+    arr = np.asarray(
+        control_image.convert("RGB").resize((cw, ch)), np.float32
+    ) / 255.0
+    return arr[None]
+
+
 class HarmonyPipeline:
     """Host-side front end: tokenization + CLIP preprocessing + PRNG, then
     one jitted device program per (shape, options) signature.
@@ -468,6 +487,8 @@ class HarmonyPipeline:
                 control_guidance_start=control_guidance_start,
                 control_guidance_end=control_guidance_end,
                 guidance_rescale=guidance_rescale, tile_vae=tile_vae,
+                control_image=control_image,
+                controlnet_scale=controlnet_conditioning_scale,
             )
         prompt = prompt or DEFAULT_PROMPT
         negative_prompt = negative_prompt or DEFAULT_NEGATIVE
@@ -538,18 +559,9 @@ class HarmonyPipeline:
 
         control_cond = None
         if control_image is not None:
-            import numpy as _np
-            from PIL import Image as _Image
-
-            if isinstance(control_image, _np.ndarray):
-                control_image = _Image.fromarray(control_image.astype(_np.uint8))
-            scale_px = 2 ** (len(self.cfgs.controlnet.conditioning_embedding_channels) - 1)
-            down = self.cfgs.vae.downscale
-            ch, cw = (height // down) * scale_px, (width // down) * scale_px
-            arr = _np.asarray(
-                control_image.convert("RGB").resize((cw, ch)), _np.float32
-            ) / 255.0
-            control_cond = jnp.asarray(arr[None])
+            control_cond = jnp.asarray(
+                preprocess_control(self.cfgs, control_image, height, width)
+            )
 
         images = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
@@ -580,13 +592,15 @@ class HarmonyPipeline:
         extra_texts=None,
         negative_prompts=None,
         seeds=None,
+        control_images=None,
         output_type="np",
         **shared_kw,
     ):
         """Pack B independent edit requests into ONE device program.
 
         All static options (size/steps/scheduler/guidance) are shared; each
-        request contributes its own image, prompt, extra_text and seed row.
+        request contributes its own image, prompt, extra_text, control image
+        (when a ControlNet is configured — all-or-none per batch) and seed row.
         This is the serving fast path: the CFG-packed UNet batch becomes
         2B and the per-request host/dispatch overhead is paid once.
         """
@@ -641,8 +655,18 @@ class HarmonyPipeline:
                 for s in seeds
             ]
         )
+        control_cond = None
+        if control_images is not None:
+            if any(c is None for c in control_images):
+                raise ValueError(
+                    "control_images must be all-or-none within a packed batch"
+                )
+            control_cond = jnp.asarray(np.concatenate([
+                preprocess_control(self.cfgs, c, height, width)
+                for c in control_images
+            ]))
         images_out = _edit_jit(
-            self.params, self.cfgs, opts, ids, pixel_values, noise,
+            self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
             num_samples=1, policy=self.policy, backend=self.backend,
         )
         arr = to_uint8(images_out)

@@ -75,6 +75,10 @@ class _Request:
             str(p.get("scheduler", "euler")),
             float(p.get("guidance_scale", 5.0)),
             float(p.get("scale", 1.0)),
+            # ControlNet participation is a static program property: only
+            # requests agreeing on it (and its scale) share a device batch
+            bool(p.get("control_image")),
+            float(p.get("controlnet_scale", 1.0)),
         )
 
 
@@ -163,15 +167,25 @@ class BatchingWorker(threading.Thread):
         extra_texts = [p.get("extra_text") or None for p in payloads]
         if any(e is None for e in extra_texts) and any(e is not None for e in extra_texts):
             raise ValueError("mixed extra_text presence; fall back")
+        control_images = None
+        if first.get("control_image"):  # batch_key guarantees all-or-none
+            control_images = [
+                np.asarray(Image.open(
+                    iomod.BytesIO(base64.b64decode(p["control_image"]))
+                ).convert("RGB"))
+                for p in payloads
+            ]
         outs = self.pipe.generate_batch(
             imgs,
             [p.get("prompt") or None for p in payloads],
             extra_texts=extra_texts if extra_texts[0] is not None else None,
             negative_prompts=[p.get("negative_prompt") or None for p in payloads],
             seeds=[int(p.get("seed", 42)) for p in payloads],
+            control_images=control_images,
             num_inference_steps=int(first.get("steps", 30)),
             guidance_scale=float(first.get("guidance_scale", 5.0)),
             scale=float(first.get("scale", 1.0)),
+            controlnet_scale=float(first.get("controlnet_scale", 1.0)),
             height=int(first.get("height", 1024)),
             width=int(first.get("width", 1024)),
             scheduler=str(first.get("scheduler", "euler")),
@@ -200,6 +214,11 @@ class BatchingWorker(threading.Thread):
                     0, 255, (64, 64, 3), dtype=np.uint8
                 )
             )
+        control = None
+        if p.get("control_image"):
+            control = np.asarray(Image.open(
+                io.BytesIO(base64.b64decode(p["control_image"]))
+            ).convert("RGB"))
         out = self.pipe.generate(
             pil_image=img,
             prompt=p.get("prompt") or None,
@@ -212,6 +231,8 @@ class BatchingWorker(threading.Thread):
             height=int(p.get("height", 1024)),
             width=int(p.get("width", 1024)),
             scheduler=str(p.get("scheduler", "euler")),
+            control_image=control,
+            controlnet_conditioning_scale=float(p.get("controlnet_scale", 1.0)),
             output_type="pil",
         )[0]
         buf = io.BytesIO()
@@ -277,13 +298,22 @@ class ContinuousWorker(threading.Thread):
             guidance_scale=float(p.get("guidance_scale", 5.0)),
             ip_scale=float(p.get("scale", 1.0)),
             use_harmony=bool(p.get("extra_text")),
+            controlnet_scale=float(p.get("controlnet_scale", 1.0)),
         )
         return continuous.SlotEngine(
-            self.pipe, opts, slots=self.max_batch, chunk=self.chunk
+            self.pipe, opts, slots=self.max_batch, chunk=self.chunk,
+            use_controlnet=bool(p.get("control_image")),
         )
 
     def _admit(self, engine, req):
+        from PIL import Image
+
         p = req.payload
+        control = None
+        if p.get("control_image"):
+            control = np.asarray(Image.open(
+                io.BytesIO(base64.b64decode(p["control_image"]))
+            ).convert("RGB"))
         engine.admit(
             req,
             pil_image=np.asarray(_payload_image(p).convert("RGB")),
@@ -291,6 +321,7 @@ class ContinuousWorker(threading.Thread):
             negative_prompt=p.get("negative_prompt") or None,
             extra_text=p.get("extra_text") or None,
             seed=int(p.get("seed", 42)),
+            control_image=control,
         )
 
     def status(self):
@@ -380,8 +411,13 @@ class ContinuousWorker(threading.Thread):
                             sl.request.event.set()
                     engine = None
                     self._engine = None
-            elif not pending:
-                engine = None  # drain: allow a different batch key next
+            else:
+                # Idle engine: any same-key pending request would have been
+                # admitted above (all slots are free), so whatever remains in
+                # `pending` needs a different batch key — drain so the next
+                # iteration can build its engine. (Draining only when pending
+                # was empty deadlocked exactly that case.)
+                engine = None
                 self._engine = None
 
 
