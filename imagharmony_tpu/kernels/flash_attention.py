@@ -76,26 +76,36 @@ def _mask_cols(logits, kv_valid):
     return logits
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_valid):
-    """One (BQ, D) output tile: full-K fused attention in VMEM."""
+    """One (BQ, D) output tile: full-K fused attention in VMEM.
+
+    VPU cost levers (probe-verified, tools/probe_softmax_tricks.py):
+    scale·log2(e) folded into q (a (BQ,D) multiply instead of a (BQ,Sk)
+    one), exp2 instead of exp, and the softmax denominator applied AFTER
+    the PV matmul on the (BQ,D) output — no (BQ,Sk)-sized VPU pass except
+    max/exp2/sum themselves."""
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (Sk, D)
     v = v_ref[0]  # (Sk, D)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     logits = jax.lax.dot_general(
-        q, k,
+        qs, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = _mask_cols(logits * scale, kv_valid)
+    logits = _mask_cols(logits, kv_valid)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
+    e = jnp.exp2(logits - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = (e / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        probs, v,
+    pv = jax.lax.dot_general(
+        e.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0] = (pv * jax.lax.reciprocal(denom)).astype(o_ref.dtype)
 
 
 def _flash_fwd_impl(q, k, v, scale, kv_len):
@@ -354,31 +364,33 @@ def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim,
     outs = []
     for h in range(q.shape[-1] // head_dim):
         sl = slice(h * head_dim, (h + 1) * head_dim)
+        # scale·log2(e) folded into the (BQ,D) q slice; denominator applied
+        # after PV on the (BQ,D) output: removes both (BQ,Sk)-sized VPU
+        # multiplies (probe: −19/−22% kernel time at seq 4096,
+        # tools/probe_softmax_tricks.py)
+        qs = (q[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
         logits = jax.lax.dot_general(
-            q[:, sl], k[:, sl],
+            qs, k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         logits = _mask_cols(logits, kv_valid)
         m = jnp.max(logits, axis=-1, keepdims=True)
         if bf16_softmax:
-            # fp32 max-subtraction, bf16 exp: halves the VPU softmax cost;
-            # exp in [0,1] so bf16's 8-bit mantissa gives ~0.4% relative
+            # fp32 max-subtraction, bf16 exp2: halves the VPU cost; exp2
+            # output in [0,1] so bf16's 8-bit mantissa gives ~0.4% relative
             # error — below the bf16 PV matmul error already present.
-            e = jnp.exp((logits - m).astype(jnp.bfloat16))
+            e = jnp.exp2((logits - m).astype(jnp.bfloat16))
             denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-            probs = (e * jax.lax.reciprocal(denom).astype(e.dtype)).astype(v.dtype)
         else:
-            e = jnp.exp(logits - m)
+            e = jnp.exp2(logits - m)
             denom = jnp.sum(e, axis=-1, keepdims=True)
-            probs = (e / denom).astype(v.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                probs, v[:, sl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        pv = jax.lax.dot_general(
+            e.astype(v.dtype), v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        outs.append(pv * jax.lax.reciprocal(denom))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 

@@ -42,11 +42,11 @@ def main():
 
         def f_bhsd(c):
             qq = q + c.astype(q.dtype)
-            return fa._flash(qq, k, v, scale)[0, 0, 0, 0].astype(jnp.float32) * 1e-30
+            return fa._flash(qq, k, v, scale, s)[0, 0, 0, 0].astype(jnp.float32) * 1e-30
 
         def f_nhd(c):
             qq = qp + c.astype(qp.dtype)
-            return fa._flash_nhd(qq, kp, vp, scale, d)[0, 0, 0].astype(jnp.float32) * 1e-30
+            return fa._flash_nhd(qq, kp, vp, scale, d, s)[0, 0, 0].astype(jnp.float32) * 1e-30
 
         def f_nhd_with_transposes(c):
             # what the OLD path paid: transpose to heads, kernel, merge
@@ -54,7 +54,7 @@ def main():
             qh = qq.reshape(b, s, h, d).transpose(0, 2, 1, 3)
             kh = kp.reshape(b, s, h, d).transpose(0, 2, 1, 3)
             vh = vp.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-            o = fa._flash(qh, kh, vh, scale)
+            o = fa._flash(qh, kh, vh, scale, s)
             o = o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
             return o[0, 0, 0].astype(jnp.float32) * 1e-30
 
