@@ -418,6 +418,42 @@ class HarmonyPipeline:
         toks = tok_lib.SDXLTokenizers(toy, toy)
         return cls(params, cfgs, toks)
 
+    def with_mesh(self, mesh):
+        """Data-parallel clone over a device mesh: params replicated, the
+        request batch (noise rows) sharded over the ``data`` axis, so the
+        K-seed PNS fan-out and packed serving batches ride ICI as pure DP —
+        the reference's only parallelism strategy (accelerate DDP, reference
+        train.py:492-496) applied to inference (SURVEY.md §2).
+        """
+        from imagharmony_tpu.parallel import mesh as mesh_lib
+
+        clone = object.__new__(HarmonyPipeline)
+        clone.__dict__.update(self.__dict__)
+        clone.params = mesh_lib.replicate(mesh, self.params)
+        clone._mesh = mesh
+        return clone
+
+    def _place_request(self, noise, ids, pixel_values, control_cond=None):
+        """On a mesh clone: shard noise rows over ``data`` (when the row
+        count divides), replicate the small conditioning inputs. No-op on
+        a single-device pipeline."""
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            return noise, ids, pixel_values, control_cond
+        from imagharmony_tpu.parallel import mesh as mesh_lib
+
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        if noise.shape[0] % n_data == 0:
+            noise = jax.device_put(noise, mesh_lib.data_sharded(mesh, noise.ndim))
+        else:
+            noise = jax.device_put(noise, mesh_lib.replicated(mesh))
+        rep = lambda x: jax.device_put(x, mesh_lib.replicated(mesh))
+        ids = {k: rep(v) for k, v in ids.items()}
+        pixel_values = rep(pixel_values)
+        if control_cond is not None:
+            control_cond = rep(control_cond)
+        return noise, ids, pixel_values, control_cond
+
     # -- pieces ------------------------------------------------------------
 
     def _tokenize(self, text):
@@ -563,6 +599,9 @@ class HarmonyPipeline:
                 preprocess_control(self.cfgs, control_image, height, width)
             )
 
+        noise, ids, pixel_values, control_cond = self._place_request(
+            noise, ids, pixel_values, control_cond
+        )
         images = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
             num_samples=num_samples, policy=self.policy, backend=self.backend,
@@ -665,6 +704,9 @@ class HarmonyPipeline:
                 preprocess_control(self.cfgs, c, height, width)
                 for c in control_images
             ]))
+        noise, ids, pixel_values, control_cond = self._place_request(
+            noise, ids, pixel_values, control_cond
+        )
         images_out = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
             num_samples=1, policy=self.policy, backend=self.backend,

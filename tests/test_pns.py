@@ -43,6 +43,44 @@ def test_pns_picks_argmax(pipe, ref_image):
     np.testing.assert_array_equal(best, images[int(np.argmax(scores))])
 
 
+def test_pns_mesh_fanout_matches_single_device(pipe, ref_image):
+    """PNS over a with_mesh clone: 8 candidate seeds sharded over the
+    8-device data axis produce the same scores/winner as the one-device
+    batch (SURVEY.md §2: PNS multi-seed fan-out is the DP-over-ICI case)."""
+    from imagharmony_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()  # (8, 1) on the virtual CPU devices
+    kw = dict(num_seeds=8, prompt="a dog", extra_text="six dogs",
+              num_inference_steps=2, height=32, width=32, seed=4,
+              return_all=True, output_type="np")
+    best_s, images_s, scores_s = pns.generate_with_pns(pipe, ref_image, **kw)
+    best_m, images_m, scores_m = pns.generate_with_pns(
+        pipe.with_mesh(mesh), ref_image, **kw
+    )
+    # GSPMD retiles within-row reductions for the partitioned program, so
+    # the 2-step recurrence drifts a little — same tolerance class as the
+    # packed-batch parity tests (test_batch_generate)
+    np.testing.assert_allclose(scores_m, scores_s, atol=5e-3)
+    assert int(np.argmax(scores_m)) == int(np.argmax(scores_s))
+    from imagharmony_tpu.utils.parity import cosine
+
+    for a, b in zip(images_m, images_s):
+        assert cosine(a.astype(np.float32), b.astype(np.float32)) > 0.999
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 8
+
+
+def test_with_mesh_nondivisible_batch_replicates(pipe, ref_image):
+    """Row counts that don't divide the data axis still run (replicated)."""
+    from imagharmony_tpu.parallel import mesh as mesh_lib
+
+    out = pns.generate_with_pns(
+        pipe.with_mesh(mesh_lib.make_mesh()), ref_image, num_seeds=3,
+        prompt="a dog", extra_text="six dogs", num_inference_steps=2,
+        height=32, width=32, output_type="np",
+    )
+    assert out.shape == (32, 32, 3)
+
+
 def test_pns_deterministic(pipe, ref_image):
     a = pns.generate_with_pns(
         pipe, ref_image, num_seeds=2, prompt="a dog", extra_text="six dogs",
