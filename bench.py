@@ -14,17 +14,22 @@ attention, batch 1 — widely reproduced public number for SDXL-base).
 BASELINE.json's target is ≥2x that on v5e.
 
 Env knobs:
-  IMAGHARMONY_BENCH_MODE   edit|train        (default edit)
+  IMAGHARMONY_BENCH_MODE   edit|train|serve  (default edit)
   IMAGHARMONY_BENCH_SIZE   full|small|tiny   (default full on TPU)
   IMAGHARMONY_BENCH_STEPS  denoise steps     (default 30)
   IMAGHARMONY_BENCH_RES    output px         (default 1024; train: 512)
-  IMAGHARMONY_BENCH_BATCH  train batch size  (default 1)
+  IMAGHARMONY_BENCH_BATCH  train/serve batch (default 1; serve: 4)
   IMAGHARMONY_BENCH_ATTN   xla|pallas        (default pallas on TPU)
 
 ``train`` mode measures the adapter fine-tuning step (BASELINE config 5:
 HA fine-tuning) in samples/sec/chip; baseline = A100 adapter training at
 the reference operating point (~3 it/s at bs1 res512, typical public
 IP-Adapter fine-tune throughput).
+
+``serve`` mode packs IMAGHARMONY_BENCH_BATCH independent edits into one
+device program (the generate_batch serving fast path) and reports
+throughput images/sec/chip — latency rises ~linearly with the pack, so
+the headline metric stays the single-edit p50 (mode=edit).
 """
 
 import json
@@ -91,7 +96,8 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
 
-    if os.environ.get("IMAGHARMONY_BENCH_MODE", "edit") == "train":
+    mode = os.environ.get("IMAGHARMONY_BENCH_MODE", "edit")
+    if mode == "train":
         size = os.environ.get("IMAGHARMONY_BENCH_SIZE", "full" if on_tpu else "tiny")
         return bench_train(size, on_tpu, platform)
 
@@ -132,7 +138,10 @@ def main():
     vparams = jax.device_put(vae.init(jax.random.PRNGKey(1), vcfg, dtype=dtype))
 
     lat = res // vcfg.downscale
-    b = 1  # one edit (CFG pair packed inside denoise)
+    # edit: one request (CFG pair packed inside denoise);
+    # serve: B independent requests packed on the batch axis (PERF.md:
+    # M=2048→8192 helps the dim-1280 matmuls, ~+16% throughput at 4×)
+    b = int(os.environ.get("IMAGHARMONY_BENCH_BATCH", "4")) if mode == "serve" else 1
     schedule = sched.make("euler", steps)
     ip_scales = jnp.ones((steps,), jnp.float32)
 
@@ -149,6 +158,14 @@ def main():
             uparams, ucfg, latents, context, pooled, time_ids, ip_tokens,
             schedule, ip_scales, guidance_scale=5.0, policy=policy, backend=backend,
         )
+        if b > 1:
+            # packed serving: decode rows sequentially — a 4-row 1024² batch
+            # decode OOMs the 16 GB chip; per-row decode is exact and the
+            # decode is a small fraction of the 30-step denoise anyway
+            return jax.lax.map(
+                lambda l: vae.decode(vparams, vcfg, l[None], policy=policy)[0],
+                latents,
+            )
         return vae.decode(vparams, vcfg, latents, policy=policy)
 
     # compile + warmup
@@ -171,8 +188,9 @@ def main():
     ips = 1.0 / per_image
 
     a100_baseline = 0.40  # images/s, 30-step 1024^2 SDXL on A100 (provenance: BASELINE.md)
+    what = f"{b}-packed serving" if mode == "serve" else "SDXL edit"
     record = {
-        "metric": f"images/sec/chip, {steps}-step {res}x{res} SDXL edit ({size}, attn={backend})",
+        "metric": f"images/sec/chip, {steps}-step {res}x{res} {what} ({size}, attn={backend})",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / a100_baseline, 3),

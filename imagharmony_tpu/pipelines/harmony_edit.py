@@ -78,6 +78,11 @@ class EditOptions:
     negative_crops_coords_top_left: Optional[tuple] = None
     negative_target_size: Optional[tuple] = None
     controlnet_scale: float = 1.0
+    # decode the whole batch in one VAE call even when >2 rows: right on a
+    # device mesh (rows are sharded, per-row lax.map would serialize the
+    # fan-out); single-chip >2-row batches default to per-row decode
+    # (a 4-row 1024² batched decode OOMs a 16 GB chip)
+    batched_decode: bool = False
 
     def time_ids(self, negative=False):
         osz = self.original_size or (self.height, self.width)
@@ -335,6 +340,14 @@ def _edit_jit(
     vae_policy = policy if policy.compute_dtype == jnp.bfloat16 else dtypes.Policy(compute_dtype=jnp.float32)
     if opts.tile_vae:
         images = vae.decode_tiled(params["vae"], cfgs.vae, latents, policy=vae_policy)
+    elif latents.shape[0] > 2 and not opts.batched_decode:
+        # packed serving / PNS fan-out: a >2-row 1024² batch decode OOMs a
+        # 16 GB chip (decoder activations scale with batch); decode rows
+        # sequentially — exact, and small next to the 30-step denoise
+        images = jax.lax.map(
+            lambda l: vae.decode(params["vae"], cfgs.vae, l[None], policy=vae_policy)[0],
+            latents,
+        )
     else:
         images = vae.decode(params["vae"], cfgs.vae, latents, policy=vae_policy)
     return images  # (num_samples, H, W, 3) in [-1, 1]
@@ -567,6 +580,7 @@ class HarmonyPipeline:
             if negative_target_size else None,
             controlnet_scale=controlnet_conditioning_scale,
             return_latents=output_type == "latent",
+            batched_decode=getattr(self, "_mesh", None) is not None,
         )
 
         down = self.cfgs.vae.downscale
@@ -683,6 +697,7 @@ class HarmonyPipeline:
             guidance_scale=shared_kw.pop("guidance_scale", 5.0),
             ip_scale=shared_kw.pop("scale", 1.0),
             use_harmony=use_extra,
+            batched_decode=getattr(self, "_mesh", None) is not None,
             **shared_kw,
         )
         down = self.cfgs.vae.downscale

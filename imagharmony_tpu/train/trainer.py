@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--train_image_proj", action="store_true")
     # smoke-path knobs
     p.add_argument("--tiny", action="store_true", help="random tiny bundle (no checkpoints needed)")
+    p.add_argument("--full_random", action="store_true",
+                   help="full-size random SDXL bundle (loop benchmarking "
+                        "without checkpoints; same construction as bench.py)")
     p.add_argument("--cache_encoders", action="store_true",
                    help="precompute VAE/CLIP outputs once and train without "
                         "the frozen towers resident (center-crop only)")
@@ -87,6 +90,18 @@ def build_components(args):
         toy = tok_lib.build_toy_tokenizer()
         cfgs = comp.tiny_configs(vocab_size=len(toy.encoder))
         params = comp.init_params(args.seed, cfgs)
+        toks = tok_lib.SDXLTokenizers(toy, toy)
+        return cfgs, params, toks
+
+    if args.full_random:
+        # loop-benchmark mode: full-size random weights, identical step math
+        # to a checkpoint run — lets trainer-loop samples/s be compared
+        # against bench.py --train's bare-step number on real hardware
+        import jax.numpy as jnp
+
+        toy = tok_lib.build_toy_tokenizer()
+        cfgs = comp.sdxl_configs(harmony_cfg=ha_cfg)
+        params = comp.init_params(args.seed, cfgs, dtype=jnp.bfloat16)
         toks = tok_lib.SDXLTokenizers(toy, toy)
         return cfgs, params, toks
 
@@ -299,3 +314,7 @@ def _export_adapter(args, cfgs, state, frozen, step):
         harmony_cfg=cfgs.harmony,
     )
     print("exported", path)
+
+
+if __name__ == "__main__":
+    main()

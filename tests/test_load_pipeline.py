@@ -221,6 +221,55 @@ def test_load_pipeline_sd15_controlnet(fake_sd15_dir):
     np.testing.assert_array_equal(a, b)
 
 
+def test_load_pipeline_sharded_index(fake_model_dir, tmp_path):
+    """Index-sharded model dirs (HF's model.safetensors.index.json layout,
+    written for models above the per-file shard size) load identically to
+    single-file dirs — keys split across shards, resolved via weight_map."""
+    import shutil
+
+    root, cfgs, params, toy = fake_model_dir
+    sharded = tmp_path / "sdxl_sharded"
+    shutil.copytree(root, sharded)
+
+    # re-write the unet as two shards + index, in HF's exact format
+    unet_dir = sharded / "unet"
+    flat = checkpoints.load_flat(unet_dir / "diffusion_pytorch_model.safetensors")
+    (unet_dir / "diffusion_pytorch_model.safetensors").unlink()
+    keys = sorted(flat)
+    half = len(keys) // 2
+    names = ["diffusion_pytorch_model-00001-of-00002.safetensors",
+             "diffusion_pytorch_model-00002-of-00002.safetensors"]
+    safetensors_io.save(unet_dir / names[0], {k: flat[k] for k in keys[:half]})
+    safetensors_io.save(unet_dir / names[1], {k: flat[k] for k in keys[half:]})
+    weight_map = {k: names[0] for k in keys[:half]}
+    weight_map.update({k: names[1] for k in keys[half:]})
+    (unet_dir / "diffusion_pytorch_model.safetensors.index.json").write_text(
+        json.dumps({"metadata": {"total_size": 0}, "weight_map": weight_map})
+    )
+
+    reloaded = checkpoints.load_sharded_dir(unet_dir)
+    assert sorted(reloaded) == keys
+    for k in keys:
+        np.testing.assert_array_equal(reloaded[k], flat[k])
+
+    pipe = checkpoints.load_pipeline(
+        model_dir=str(sharded),
+        adapter_ckpt=os.path.join(str(sharded), "ip_adapter.bin"),
+        cfgs=cfgs,
+    )
+    unsharded = checkpoints.load_pipeline(
+        model_dir=root,
+        adapter_ckpt=os.path.join(root, "ip_adapter.bin"),
+        cfgs=cfgs,
+    )
+    img = np.random.default_rng(2).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    kw = dict(prompt="a dog", extra_text="six dogs", num_inference_steps=2,
+              height=32, width=32, seed=3, output_type="np")
+    a = pipe.generate(pil_image=img, **kw)
+    b = unsharded.generate(pil_image=img, **kw)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_load_pipeline_missing_dir():
     with pytest.raises(Exception):
         checkpoints.load_pipeline(model_dir="/nonexistent/path")
