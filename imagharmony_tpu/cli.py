@@ -55,6 +55,27 @@ def _add_edit_args(p):
                    choices=["leading", "trailing", "linspace"])
     p.add_argument("--tile-vae", action="store_true")
     p.add_argument("--pns", type=int, default=0, help="preference-guided noise selection over K seeds")
+    p.add_argument("--attn-maps", default=None, metavar="DIR",
+                   help="also save per-IP-token cross-attention heatmaps "
+                        "blended over the input image to DIR (the reference's "
+                        "attention-map visualization, utils.py:6-79)")
+
+
+def _save_attn_maps(pipe, image, args):
+    """Render the decoupled IP branch's attention as token heatmaps over
+    the input (reference register_cross_attention_hook/get_net_attn_map
+    role, utils.py:6-79 — here a jitted probe, no forward hooks)."""
+    from imagharmony_tpu.utils import attn_maps as am
+
+    os.makedirs(args.attn_maps, exist_ok=True)
+    maps = am.ip_attention_maps(
+        pipe, image, prompt=args.prompt, extra_text=args.extra_text,
+        latent_size=args.height // pipe.cfgs.vae.downscale, seed=args.seed,
+    )
+    for i, im in enumerate(am.heatmap_to_pil(maps, base_image=image)):
+        path = os.path.join(args.attn_maps, f"ip_token_{i}.png")
+        im.save(path)
+    print(f"saved {len(maps)} IP attention heatmaps to {args.attn_maps}")
 
 
 def cmd_edit(args):
@@ -106,6 +127,8 @@ def cmd_edit(args):
         path = args.output if len(images) == 1 else args.output.replace(".png", f"_{i}.png")
         im.save(path)
         print(f"saved {path}")
+    if args.attn_maps:
+        _save_attn_maps(pipe, image, args)
     print(f"done in {time.time() - t0:.1f}s")
 
 
@@ -132,6 +155,10 @@ def cmd_demo(args):
         output_type="pil",
     )
     out[0].save(args.output)
+    if args.attn_maps:
+        from PIL import Image
+
+        _save_attn_maps(pipe, Image.fromarray(ref), args)
     print(
         json.dumps(
             {

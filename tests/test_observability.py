@@ -44,3 +44,19 @@ def test_step_timer():
     t = profiling.StepTimer()
     t.lap()
     assert t.mean >= 0
+
+
+def test_cli_demo_attn_maps(tmp_path):
+    """`imagharmony demo --attn-maps DIR` writes one heatmap per IP token
+    (the reference's attention-map visualization surfaced on the CLI)."""
+    from imagharmony_tpu import cli
+
+    out = tmp_path / "demo.png"
+    maps_dir = tmp_path / "maps"
+    cli.main([
+        "demo", "--output", str(out), "--attn-maps", str(maps_dir),
+        "--seed", "1",
+    ])
+    assert out.exists()
+    files = sorted(maps_dir.glob("ip_token_*.png"))
+    assert len(files) == 4  # tiny config's num_ip_tokens
