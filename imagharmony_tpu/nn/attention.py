@@ -185,7 +185,10 @@ def attention(
             q, k, v, scale=head_dim**-0.5, head_dim=head_dim
         )
         if packed is not None:
-            return layers.linear(params["to_out"], packed, policy=policy)
+            y = layers.linear(params["to_out"], packed, policy=policy)
+            # keep the documented (y, ip_probs) contract: self-attention has
+            # no IP branch, so probs are None
+            return (y, None) if return_ip_probs else y
 
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)

@@ -139,6 +139,13 @@ def _decode_jit(params, cfgs, opts, latents, *, policy):
     )
     if opts.tile_vae:
         return vae.decode_tiled(params["vae"], cfgs.vae, latents, policy=vae_policy)
+    if latents.shape[0] > 2:
+        # same guard as _edit_jit: a >2-row 1024² batched decode OOMs a
+        # 16 GB chip — decode rows sequentially (exact)
+        return jax.lax.map(
+            lambda l: vae.decode(params["vae"], cfgs.vae, l[None], policy=vae_policy)[0],
+            latents,
+        )
     return vae.decode(params["vae"], cfgs.vae, latents, policy=vae_policy)
 
 
@@ -338,9 +345,15 @@ def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
     )
     eng = SlotEngine(pipe, opts, slots=num_samples, chunk=chunk_steps,
                      use_controlnet=control_image is not None)
-    seeds = seed if isinstance(seed, (list, tuple)) else [
-        (0 if seed is None else int(seed)) + i for i in range(num_samples)
-    ]
+    if isinstance(seed, (list, tuple)):
+        # same contract as the one-jit path (per-sample seed lists)
+        if len(seed) != num_samples:
+            raise ValueError(
+                f"len(seed)={len(seed)} must equal num_samples={num_samples}"
+            )
+        seeds = list(seed)
+    else:
+        seeds = [(0 if seed is None else int(seed)) + i for i in range(num_samples)]
     for i, s in enumerate(seeds):
         eng.admit(i, pil_image=pil_image, prompt=prompt,
                   negative_prompt=negative_prompt, extra_text=extra_text,
@@ -352,6 +365,10 @@ def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
         done = int(eng.progress().min())
         if callback_on_step_end is not None:
             callback_on_step_end(done, eng.latents)
+    if output_type == "latent" or opts.denoising_end is not None:
+        # handoff / external-decode contract of the one-jit path: true
+        # pre-VAE latents (B, h, w, 4), no decode
+        return eng.latents
     images = _decode_jit(
         pipe.params, pipe.cfgs, opts, eng.latents, policy=pipe.policy
     )

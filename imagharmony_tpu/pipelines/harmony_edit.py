@@ -446,6 +446,18 @@ class HarmonyPipeline:
         clone._mesh = mesh
         return clone
 
+    def _use_batched_decode(self, rows: int) -> bool:
+        """Batched VAE decode is right only when each chip decodes ≤2 rows:
+        a non-divisible (replicated) batch or >2 rows per shard hits the
+        same 16 GB decoder-activation wall as single-chip."""
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            return False
+        from imagharmony_tpu.parallel import mesh as mesh_lib
+
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        return rows % n_data == 0 and rows // n_data <= 2
+
     def _place_request(self, noise, ids, pixel_values, control_cond=None):
         """On a mesh clone: shard noise rows over ``data`` (when the row
         count divides), replicate the small conditioning inputs. No-op on
@@ -522,6 +534,12 @@ class HarmonyPipeline:
             # dispatch per chunk; reference demo.py:112,127 progress role)
             from imagharmony_tpu.pipelines import continuous
 
+            if latents is not None or denoising_start is not None:
+                raise ValueError(
+                    "callback_on_step_end/chunk_steps does not support the "
+                    "refiner-stage inputs (latents=, denoising_start=); use "
+                    "the one-jit path for the handoff consumer"
+                )
             return continuous.generate_chunked(
                 self, pil_image=pil_image, prompt=prompt,
                 negative_prompt=negative_prompt, extra_text=extra_text,
@@ -538,6 +556,16 @@ class HarmonyPipeline:
                 guidance_rescale=guidance_rescale, tile_vae=tile_vae,
                 control_image=control_image,
                 controlnet_scale=controlnet_conditioning_scale,
+                denoising_end=denoising_end,
+                original_size=tuple(original_size) if original_size else None,
+                crops_coords_top_left=tuple(crops_coords_top_left),
+                target_size=tuple(target_size) if target_size else None,
+                negative_original_size=tuple(negative_original_size)
+                if negative_original_size else None,
+                negative_crops_coords_top_left=tuple(negative_crops_coords_top_left)
+                if negative_crops_coords_top_left else None,
+                negative_target_size=tuple(negative_target_size)
+                if negative_target_size else None,
             )
         prompt = prompt or DEFAULT_PROMPT
         negative_prompt = negative_prompt or DEFAULT_NEGATIVE
@@ -580,7 +608,7 @@ class HarmonyPipeline:
             if negative_target_size else None,
             controlnet_scale=controlnet_conditioning_scale,
             return_latents=output_type == "latent",
-            batched_decode=getattr(self, "_mesh", None) is not None,
+            batched_decode=self._use_batched_decode(num_samples),
         )
 
         down = self.cfgs.vae.downscale
@@ -697,7 +725,7 @@ class HarmonyPipeline:
             guidance_scale=shared_kw.pop("guidance_scale", 5.0),
             ip_scale=shared_kw.pop("scale", 1.0),
             use_harmony=use_extra,
-            batched_decode=getattr(self, "_mesh", None) is not None,
+            batched_decode=self._use_batched_decode(b),
             **shared_kw,
         )
         down = self.cfgs.vae.downscale

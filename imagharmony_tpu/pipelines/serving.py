@@ -151,30 +151,16 @@ class BatchingWorker(threading.Thread):
         import base64 as b64mod
         import io as iomod
 
-        from PIL import Image
-
         t0 = time.time()
         payloads = [r.payload for r in group]
-        imgs = []
-        for p in payloads:
-            if p.get("image"):
-                imgs.append(Image.open(iomod.BytesIO(base64.b64decode(p["image"]))))
-            else:
-                imgs.append(Image.fromarray(
-                    np.random.default_rng(int(p.get("seed", 0))).integers(
-                        0, 255, (64, 64, 3), dtype=np.uint8)))
+        imgs = [_payload_image(p) for p in payloads]
         first = payloads[0]
         extra_texts = [p.get("extra_text") or None for p in payloads]
         if any(e is None for e in extra_texts) and any(e is not None for e in extra_texts):
             raise ValueError("mixed extra_text presence; fall back")
         control_images = None
         if first.get("control_image"):  # batch_key guarantees all-or-none
-            control_images = [
-                np.asarray(Image.open(
-                    iomod.BytesIO(base64.b64decode(p["control_image"]))
-                ).convert("RGB"))
-                for p in payloads
-            ]
+            control_images = [_payload_control(p) for p in payloads]
         outs = self.pipe.generate_batch(
             imgs,
             [p.get("prompt") or None for p in payloads],
@@ -203,22 +189,9 @@ class BatchingWorker(threading.Thread):
             req.event.set()
 
     def _run_one(self, p):
-        from PIL import Image
-
         t0 = time.time()
-        if p.get("image"):
-            img = Image.open(io.BytesIO(base64.b64decode(p["image"])))
-        else:
-            img = Image.fromarray(
-                np.random.default_rng(int(p.get("seed", 0))).integers(
-                    0, 255, (64, 64, 3), dtype=np.uint8
-                )
-            )
-        control = None
-        if p.get("control_image"):
-            control = np.asarray(Image.open(
-                io.BytesIO(base64.b64decode(p["control_image"]))
-            ).convert("RGB"))
+        img = _payload_image(p)
+        control = _payload_control(p)
         out = self.pipe.generate(
             pil_image=img,
             prompt=p.get("prompt") or None,
@@ -255,6 +228,17 @@ def _payload_image(p):
     )
 
 
+def _payload_control(p):
+    """Decode the optional control_image payload field -> RGB array."""
+    from PIL import Image
+
+    if not p.get("control_image"):
+        return None
+    return np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(p["control_image"]))).convert("RGB")
+    )
+
+
 class ContinuousWorker(threading.Thread):
     """Continuous batching: requests join a RUNNING batch at denoise-step
     granularity instead of waiting for the current program to finish.
@@ -266,7 +250,7 @@ class ContinuousWorker(threading.Thread):
     different batch key wait until the engine drains.
     """
 
-    def __init__(self, pipe, *, max_batch=4, chunk=5, max_wait_s=0.05):
+    def __init__(self, pipe, *, max_batch=4, chunk=5):
         super().__init__(daemon=True)
         self.pipe = pipe
         self.max_batch = max_batch
@@ -276,8 +260,12 @@ class ContinuousWorker(threading.Thread):
         self.pack_errors = 0
         self._engine = None
         # (wall_time, engine_min_step_at_admit) per admission — observability
-        # + test hook proving mid-flight joins
-        self.admissions = []
+        # + test hook proving mid-flight joins; bounded so a long-running
+        # server doesn't grow it without limit
+        from collections import deque
+
+        self.admissions = deque(maxlen=4096)
+        self.total_admissions = 0
 
     def submit(self, payload) -> _Request:
         req = _Request(payload)
@@ -306,14 +294,8 @@ class ContinuousWorker(threading.Thread):
         )
 
     def _admit(self, engine, req):
-        from PIL import Image
-
         p = req.payload
-        control = None
-        if p.get("control_image"):
-            control = np.asarray(Image.open(
-                io.BytesIO(base64.b64decode(p["control_image"]))
-            ).convert("RGB"))
+        control = _payload_control(p)
         engine.admit(
             req,
             pil_image=np.asarray(_payload_image(p).convert("RGB")),
@@ -340,7 +322,7 @@ class ContinuousWorker(threading.Thread):
                 (int(p) if sl.request is not None else None)
                 for p, sl in zip(prog, eng.slots)
             ],
-            "admissions": len(self.admissions),
+            "admissions": self.total_admissions,
             "pack_errors": self.pack_errors,
         }
 
@@ -354,6 +336,14 @@ class ContinuousWorker(threading.Thread):
                 pending.append(self.q.get(timeout=0.02 if engine else 0.2))
             except queue.Empty:
                 pass
+            # burst drain: pull EVERY queued request now so a burst fills all
+            # free slots at this chunk boundary (one q.get per iteration
+            # admitted at most one request per chunk, leaving slots masked)
+            while True:
+                try:
+                    pending.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
             if engine is None and pending:
                 first = pending[0]
                 try:
@@ -377,6 +367,7 @@ class ContinuousWorker(threading.Thread):
                     try:
                         self._admit(engine, req)
                         self.admissions.append((time.time(), mid))
+                        self.total_admissions += 1
                     except Exception as e:
                         log.error("admission failed:\n%s", traceback.format_exc())
                         self.pack_errors += 1
