@@ -20,6 +20,9 @@ Env knobs:
   IMAGHARMONY_BENCH_RES    output px         (default 1024; train: 512)
   IMAGHARMONY_BENCH_BATCH  train/serve batch (default 1; serve: 4)
   IMAGHARMONY_BENCH_ATTN   xla|pallas        (default pallas on TPU)
+  IMAGHARMONY_BENCH_ENC    encoder interval  (default 1 = exact; 2 = the
+                                             --turbo encoder-propagation
+                                             preset, changes outputs)
 
 ``train`` mode measures the adapter fine-tuning step (BASELINE config 5:
 HA fine-tuning) in samples/sec/chip; baseline = A100 adapter training at
@@ -110,6 +113,7 @@ def main():
     steps = int(os.environ.get("IMAGHARMONY_BENCH_STEPS", "30"))
     res = int(os.environ.get("IMAGHARMONY_BENCH_RES", "1024" if size == "full" else "256"))
     backend = os.environ.get("IMAGHARMONY_BENCH_ATTN", "pallas" if on_tpu else "xla")
+    enc_interval = int(os.environ.get("IMAGHARMONY_BENCH_ENC", "1"))
 
     if size == "full":
         ucfg = unet.UNetConfig()
@@ -156,7 +160,8 @@ def main():
         latents = (noise * schedule.init_noise_sigma).astype(dtype)
         latents = denoise(
             uparams, ucfg, latents, context, pooled, time_ids, ip_tokens,
-            schedule, ip_scales, guidance_scale=5.0, policy=policy, backend=backend,
+            schedule, ip_scales, guidance_scale=5.0,
+            encoder_interval=enc_interval, policy=policy, backend=backend,
         )
         if b > 1:
             # packed serving: decode rows sequentially — a 4-row 1024² batch
@@ -189,6 +194,8 @@ def main():
 
     a100_baseline = 0.40  # images/s, 30-step 1024^2 SDXL on A100 (provenance: BASELINE.md)
     what = f"{b}-packed serving" if mode == "serve" else "SDXL edit"
+    if enc_interval > 1:
+        what += f" enc-prop/{enc_interval}"
     record = {
         "metric": f"images/sec/chip, {steps}-step {res}x{res} {what} ({size}, attn={backend})",
         "value": round(ips, 4),

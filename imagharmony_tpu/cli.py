@@ -51,6 +51,10 @@ def _add_edit_args(p):
     p.add_argument("--fast", action="store_true",
                    help="latency preset: 15 steps + trailing timestep spacing "
                         "(arXiv 2305.08891; changes outputs vs the 30-step default)")
+    p.add_argument("--turbo", action="store_true",
+                   help="encoder propagation: run the UNet encoder every 2nd "
+                        "step, reuse features in between (arXiv 2312.09608; "
+                        "changes outputs; composes with --fast)")
     p.add_argument("--timestep-spacing", default=None,
                    choices=["leading", "trailing", "linspace"])
     p.add_argument("--tile-vae", action="store_true")
@@ -101,6 +105,7 @@ def cmd_edit(args):
             spacing = "trailing"
     t0 = time.time()
     kw = dict(
+        encoder_interval=2 if getattr(args, "turbo", False) else 1,
         control_image=(Image.open(args.control_image) if args.control_image else None),
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,

@@ -311,6 +311,8 @@ def apply(
     backend=None,
     policy: dtypes.Policy = dtypes.DEFAULT,
     collect_ip_probs=None,
+    return_encoder: bool = False,
+    encoder_override=None,
 ):
     """Predict noise.
 
@@ -325,6 +327,15 @@ def apply(
     ip_tokens:             (B, num_ip_tokens, 2048) image-prompt tokens or
                            None to run the UNet with the IP branch off
     ip_scale:              scalar (python or traced) IP branch weight
+
+    Encoder propagation (Faster Diffusion, arXiv 2312.09608): the encoder
+    half (conv_in + down blocks, incl. any ControlNet skip residuals)
+    changes slowly across adjacent denoise steps, so it can be computed at
+    key steps only and reused between them.
+    return_encoder:  also return ``(res_stack, h_mid_in)`` for reuse;
+    encoder_override: ``(res_stack, h_mid_in)`` from a previous call —
+                     skips the encoder entirely and runs mid + decoder on
+                     the cached features.
     """
     g = cfg.norm_num_groups
     ts = jnp.asarray(timesteps)
@@ -365,23 +376,28 @@ def apply(
         )
 
     # --- down ---
-    h = layers.conv2d(params["conv_in"], policy.cast(sample), policy=policy)
-    res_stack = [h]
-    for i, block in enumerate(params["down_blocks"]):
-        for j, res in enumerate(block["resnets"]):
-            h = resnet_block(res, h, temb, num_groups=g, policy=policy)
-            if block["attentions"]:
-                h = run_attn(
-                    block["attentions"][j], h, f"down_blocks.{i}.attentions.{j}", i
-                )
-            res_stack.append(h)
-        if block["downsamplers"]:
-            h = downsample(block["downsamplers"][0], h, policy=policy)
-            res_stack.append(h)
+    if encoder_override is not None:
+        res_stack, h = list(encoder_override[0]), encoder_override[1]
+    else:
+        h = layers.conv2d(params["conv_in"], policy.cast(sample), policy=policy)
+        res_stack = [h]
+        for i, block in enumerate(params["down_blocks"]):
+            for j, res in enumerate(block["resnets"]):
+                h = resnet_block(res, h, temb, num_groups=g, policy=policy)
+                if block["attentions"]:
+                    h = run_attn(
+                        block["attentions"][j], h, f"down_blocks.{i}.attentions.{j}", i
+                    )
+                res_stack.append(h)
+            if block["downsamplers"]:
+                h = downsample(block["downsamplers"][0], h, policy=policy)
+                res_stack.append(h)
 
-    # ControlNet residuals add to the saved skip connections only
-    if down_block_additional_residuals is not None:
-        res_stack = [s + r for s, r in zip(res_stack, down_block_additional_residuals)]
+        # ControlNet residuals add to the saved skip connections only
+        if down_block_additional_residuals is not None:
+            res_stack = [s + r for s, r in zip(res_stack, down_block_additional_residuals)]
+
+    encoder_feats = (tuple(res_stack), h)
 
     # --- mid ---
     mid = params["mid_block"]
@@ -407,4 +423,6 @@ def apply(
 
     h = layers.group_norm(params["conv_norm_out"], h, num_groups=g, policy=policy)
     h = layers.conv2d(params["conv_out"], jax.nn.silu(h), policy=policy)
+    if return_encoder:
+        return h, encoder_feats
     return h

@@ -83,6 +83,10 @@ class EditOptions:
     # fan-out); single-chip >2-row batches default to per-row decode
     # (a 4-row 1024² batched decode OOMs a 16 GB chip)
     batched_decode: bool = False
+    # encoder propagation (Faster Diffusion, arXiv 2312.09608): run the
+    # UNet encoder every k-th step only, reuse its features in between.
+    # 1 = exact (default); >1 changes outputs — gated behind --turbo.
+    encoder_interval: int = 1
 
     def time_ids(self, negative=False):
         osz = self.original_size or (self.height, self.width)
@@ -222,6 +226,7 @@ def denoise(
     guidance_scale,
     guidance_rescale=0.0,
     controlnet=None,
+    encoder_interval: int = 1,
     policy,
     backend=None,
 ):
@@ -230,10 +235,24 @@ def denoise(
 
     controlnet: optional (params, cfg, cond_2B, scale) — the branch runs
     each step on the same CFG-packed inputs (text-only conditioning) and
-    its residuals steer the UNet."""
+    its residuals steer the UNet.
+
+    encoder_interval > 1 enables encoder propagation (Faster Diffusion,
+    arXiv 2312.09608): the UNet encoder (+ ControlNet branch) runs only at
+    every ``encoder_interval``-th step and its features are reused in
+    between — an output-changing approximation, gated behind --turbo."""
     b = latents.shape[0]
     xs = sched.scan_constants(schedule) + (jnp.asarray(ip_scales),)
     kind = schedule.kind
+
+    if encoder_interval > 1:
+        return _denoise_encoder_prop(
+            params_unet, unet_cfg, latents, context, pooled, time_ids,
+            ip_tokens, schedule, ip_scales,
+            guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
+            controlnet=controlnet, encoder_interval=encoder_interval,
+            policy=policy, backend=backend,
+        )
 
     def body(lat, x):
         t, sigma, sigma_next, ip_s = x
@@ -273,6 +292,75 @@ def denoise(
         return lat, ()
 
     latents, _ = jax.lax.scan(body, latents, xs)
+    return latents
+
+
+def _denoise_encoder_prop(
+    params_unet, unet_cfg, latents, context, pooled, time_ids, ip_tokens,
+    schedule, ip_scales, *, guidance_scale, guidance_rescale, controlnet,
+    encoder_interval, policy, backend,
+):
+    """Denoise with the UNet encoder evaluated every ``encoder_interval``-th
+    step and reused in between (Faster Diffusion, arXiv 2312.09608 — the
+    encoder's features drift slowly across adjacent steps, the decoder does
+    the denoising work). Step 0 is peeled to seed the cached features."""
+    b = latents.shape[0]
+    kind = schedule.kind
+    n = schedule.num_steps
+    ts_a, sig_a, sign_a = sched.scan_constants(schedule)
+    ip_arr = jnp.asarray(ip_scales)
+
+    def eps_at(lat, t, sigma, ip_s, *, enc=None, want_enc=False):
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
+        down_res = mid_res = None
+        if controlnet is not None and enc is None:
+            from imagharmony_tpu.models import controlnet as controlnet_lib
+
+            cn_params, cn_cfg, cn_cond, cn_scale = controlnet
+            down_res, mid_res = controlnet_lib.apply(
+                cn_params, cn_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
+                context, cn_cond, pooled_text_embeds=pooled,
+                time_ids=time_ids, conditioning_scale=cn_scale,
+                backend=backend, policy=policy,
+            )
+        return unet.apply(
+            params_unet, unet_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
+            context, pooled_text_embeds=pooled, time_ids=time_ids,
+            ip_tokens=ip_tokens, ip_scale=ip_s,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
+            policy=policy, backend=backend,
+            return_encoder=want_enc, encoder_override=enc,
+        )
+
+    def guide_step(lat, eps, sigma, sigma_next):
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        if guidance_rescale > 0.0:
+            eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
+        return sched.step_c(kind, sigma, sigma_next, eps_g, lat)
+
+    # step 0 is always a key step: peel it to seed the encoder cache
+    eps0, enc = eps_at(latents, ts_a[0], sig_a[0], ip_arr[0], want_enc=True)
+    latents = guide_step(latents, eps0, sig_a[0], sign_a[0])
+
+    def body(carry, i):
+        lat, enc = carry
+        t, sig, sig_n, ip_s = ts_a[i], sig_a[i], sign_a[i], ip_arr[i]
+        is_key = (i % encoder_interval) == 0
+
+        def full(lat_):
+            return eps_at(lat_, t, sig, ip_s, want_enc=True)
+
+        def reuse(lat_):
+            return eps_at(lat_, t, sig, ip_s, enc=enc), enc
+
+        eps, enc_new = jax.lax.cond(is_key, full, reuse, lat)
+        lat = guide_step(lat, eps, sig, sig_n)
+        return (lat, enc_new), ()
+
+    (latents, _), _ = jax.lax.scan(body, (latents, enc), jnp.arange(1, n))
     return latents
 
 
@@ -326,6 +414,7 @@ def _edit_jit(
         schedule, ip_scales, guidance_scale=opts.guidance_scale,
         guidance_rescale=opts.guidance_rescale,
         controlnet=cn,
+        encoder_interval=opts.encoder_interval,
         policy=policy, backend=backend,
     )
 
@@ -528,7 +617,15 @@ class HarmonyPipeline:
         output_type: str = "np",
         callback_on_step_end=None,
         chunk_steps: Optional[int] = None,
+        encoder_interval: int = 1,
     ):
+        if encoder_interval > 1 and (
+            callback_on_step_end is not None or chunk_steps is not None
+        ):
+            raise ValueError(
+                "encoder_interval (--turbo) is not supported on the chunked "
+                "runner (per-row step positions have no shared key step)"
+            )
         if callback_on_step_end is not None or chunk_steps is not None:
             # progress-callback path: chunked runner (same math, one extra
             # dispatch per chunk; reference demo.py:112,127 progress role)
@@ -609,6 +706,7 @@ class HarmonyPipeline:
             controlnet_scale=controlnet_conditioning_scale,
             return_latents=output_type == "latent",
             batched_decode=self._use_batched_decode(num_samples),
+            encoder_interval=encoder_interval,
         )
 
         down = self.cfgs.vae.downscale

@@ -193,3 +193,47 @@ def test_denoising_start_refiner_handoff(pipe, ref_image):
     out = pipe.generate(pil_image=ref_image, latents=lat, denoising_start=0.5,
                         output_type="np", **kw)
     np.testing.assert_array_equal(full, out)
+
+
+def test_encoder_split_is_exact():
+    """unet.apply(return_encoder=True) -> feeding those features back via
+    encoder_override at the SAME step reproduces the full forward exactly
+    (the encoder/decoder split itself introduces no approximation)."""
+    cfg = unet.tiny_config()
+    params = unet.init(0, cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    kw = dict(
+        pooled_text_embeds=jax.random.normal(ks[0], (2, 32)),
+        time_ids=jnp.tile(jnp.array([[32.0, 32, 0, 0, 32, 32]]), (2, 1)),
+        ip_tokens=jax.random.normal(ks[1], (2, 4, cfg.cross_attention_dim)),
+        policy=FP32,
+    )
+    sample = jax.random.normal(ks[2], (2, 8, 8, 4))
+    t = jnp.array([500, 500])
+    ctx = jax.random.normal(ks[3], (2, 9, cfg.cross_attention_dim))
+    full = unet.apply(params, cfg, sample, t, ctx, **kw)
+    out, enc = unet.apply(params, cfg, sample, t, ctx, return_encoder=True, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+    reused = unet.apply(params, cfg, sample, t, ctx, encoder_override=enc, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(reused))
+
+
+def test_encoder_propagation_turbo(pipe, ref_image):
+    """encoder_interval=2 (the --turbo preset, arXiv 2312.09608): runs,
+    differs from the exact schedule, stays structurally close, and is
+    deterministic. Rejected on the chunked runner."""
+    from imagharmony_tpu.utils.parity import cosine
+
+    exact = _gen(pipe, ref_image, num_inference_steps=4, output_type="raw")
+    turbo = _gen(pipe, ref_image, num_inference_steps=4, output_type="raw",
+                 encoder_interval=2)
+    assert turbo.shape == exact.shape
+    a, b = np.asarray(exact, np.float32), np.asarray(turbo, np.float32)
+    assert np.abs(a - b).max() > 0  # it IS an approximation
+    assert cosine(a, b) > 0.95, cosine(a, b)
+    again = _gen(pipe, ref_image, num_inference_steps=4, output_type="raw",
+                 encoder_interval=2)
+    np.testing.assert_array_equal(np.asarray(turbo), np.asarray(again))
+
+    with pytest.raises(ValueError):
+        _gen(pipe, ref_image, encoder_interval=2, chunk_steps=2)
