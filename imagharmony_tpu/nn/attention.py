@@ -199,8 +199,10 @@ def attention(
     if ip_context is not None:
         k_ip = _split_heads(layers.linear(params["to_k_ip"], ip_context, policy=policy), heads)
         v_ip = _split_heads(layers.linear(params["to_v_ip"], ip_context, policy=policy), heads)
-        # S_ip is tiny (4/16 tokens): plain einsum attention is already
-        # bandwidth-optimal; the pallas backend fuses it with the text branch.
+        # S_ip is tiny (4/16 tokens): both the text branch above (Sk=77,
+        # below the pallas kernel's min length) and this IP branch run as
+        # plain XLA einsum attention, where the fused softmax is already
+        # bandwidth-optimal at these key lengths.
         ip_out = sdpa(qh, k_ip, v_ip, backend="xla")
         out = out + ip_scale * ip_out
         if return_ip_probs:

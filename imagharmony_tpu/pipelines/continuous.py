@@ -212,8 +212,13 @@ class SlotEngine:
     # -- request lifecycle ---------------------------------------------------
 
     def prepare(self, *, pil_image=None, prompt=None, negative_prompt=None,
-                extra_text=None, seed=0, control_image=None):
-        """Host prep for one request -> (lat1, bundle1) device values."""
+                extra_text=None, seed=0, control_image=None, noise=None):
+        """Host prep for one request -> (lat1, bundle1) device values.
+
+        noise: optional (1, h, w, 4) float32 initial-noise row; when given it
+        overrides ``seed`` — used by generate_chunked to reproduce the one-jit
+        path's noise exactly (scalar seed there draws all rows from a single
+        PRNGKey rather than per-row keys)."""
         pipe, opts = self.pipe, self.opts
         prompt = prompt or he.DEFAULT_PROMPT
         negative_prompt = negative_prompt or he.DEFAULT_NEGATIVE
@@ -252,10 +257,13 @@ class SlotEngine:
             cond = pipe.policy.cast(jnp.asarray(cond))
             bundle1 = dict(bundle1, control=jnp.concatenate([cond, cond]))
         down = pipe.cfgs.vae.downscale
-        noise = jax.random.normal(
-            jax.random.PRNGKey(int(seed)),
-            (1, opts.height // down, opts.width // down, 4), jnp.float32,
-        )
+        if noise is None:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(int(seed)),
+                (1, opts.height // down, opts.width // down, 4), jnp.float32,
+            )
+        else:
+            noise = jnp.asarray(noise, jnp.float32)
         schedule = sched.make(
             opts.scheduler, opts.num_inference_steps,
             sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
@@ -272,7 +280,7 @@ class SlotEngine:
 
     def admit(self, request_token, *, pil_image=None, prompt=None,
               negative_prompt=None, extra_text=None, seed=0,
-              control_image=None) -> int:
+              control_image=None, noise=None) -> int:
         """Place a request into a free slot (mid-flight is fine). Returns
         the slot index; raises if no slot is free."""
         free = self.free_slots()
@@ -282,7 +290,7 @@ class SlotEngine:
         lat1, bundle1 = self.prepare(
             pil_image=pil_image, prompt=prompt,
             negative_prompt=negative_prompt, extra_text=extra_text, seed=seed,
-            control_image=control_image,
+            control_image=control_image, noise=noise,
         )
         if self.bundle is None:
             # allocate the slot-bundle from the first request's shapes
@@ -345,19 +353,29 @@ def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
     )
     eng = SlotEngine(pipe, opts, slots=num_samples, chunk=chunk_steps,
                      use_controlnet=control_image is not None)
+    # draw the initial noise EXACTLY as the one-jit path (harmony_edit
+    # generate): scalar seed -> one PRNGKey for all rows; seed list -> one
+    # key per row (reference get_generator semantics, ip_adapter/utils.py:83-93)
+    down = pipe.cfgs.vae.downscale
+    row_shape = (opts.height // down, opts.width // down, 4)
     if isinstance(seed, (list, tuple)):
-        # same contract as the one-jit path (per-sample seed lists)
         if len(seed) != num_samples:
             raise ValueError(
                 f"len(seed)={len(seed)} must equal num_samples={num_samples}"
             )
-        seeds = list(seed)
+        noise_rows = [
+            jax.random.normal(jax.random.PRNGKey(int(s)), (1,) + row_shape,
+                              jnp.float32)
+            for s in seed
+        ]
     else:
-        seeds = [(0 if seed is None else int(seed)) + i for i in range(num_samples)]
-    for i, s in enumerate(seeds):
+        key = jax.random.PRNGKey(0 if seed is None else int(seed))
+        block = jax.random.normal(key, (num_samples,) + row_shape, jnp.float32)
+        noise_rows = [block[i:i + 1] for i in range(num_samples)]
+    for i, nr in enumerate(noise_rows):
         eng.admit(i, pil_image=pil_image, prompt=prompt,
                   negative_prompt=negative_prompt, extra_text=extra_text,
-                  seed=s, control_image=control_image)
+                  noise=nr, control_image=control_image)
     n = eng.num_steps
     done = 0
     while done < n:

@@ -310,10 +310,15 @@ def _denoise_encoder_prop(
     ts_a, sig_a, sign_a = sched.scan_constants(schedule)
     ip_arr = jnp.asarray(ip_scales)
 
-    def eps_at(lat, t, sigma, ip_s, *, enc=None, want_enc=False):
+    def eps_at(lat, t, sigma, ip_s, *, enc=None, mid_res=None, want_enc=False):
+        """One CFG-pair UNet eval. On key steps (enc is None) the ControlNet
+        branch runs and produces both residual sets; on reuse steps the
+        cached ``enc`` already bakes in the down-block residuals, and the
+        key-step ``mid_res`` must be re-applied explicitly — the mid-block
+        addition happens after the cached encoder point (unet.apply:407)."""
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
-        down_res = mid_res = None
+        down_res = None
         if controlnet is not None and enc is None:
             from imagharmony_tpu.models import controlnet as controlnet_lib
 
@@ -324,7 +329,7 @@ def _denoise_encoder_prop(
                 time_ids=time_ids, conditioning_scale=cn_scale,
                 backend=backend, policy=policy,
             )
-        return unet.apply(
+        out = unet.apply(
             params_unet, unet_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
             context, pooled_text_embeds=pooled, time_ids=time_ids,
             ip_tokens=ip_tokens, ip_scale=ip_s,
@@ -333,6 +338,10 @@ def _denoise_encoder_prop(
             policy=policy, backend=backend,
             return_encoder=want_enc, encoder_override=enc,
         )
+        if want_enc:
+            eps, enc_out = out
+            return eps, enc_out, mid_res
+        return out
 
     def guide_step(lat, eps, sigma, sigma_next):
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -341,12 +350,15 @@ def _denoise_encoder_prop(
             eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
         return sched.step_c(kind, sigma, sigma_next, eps_g, lat)
 
-    # step 0 is always a key step: peel it to seed the encoder cache
-    eps0, enc = eps_at(latents, ts_a[0], sig_a[0], ip_arr[0], want_enc=True)
+    # step 0 is always a key step: peel it to seed the encoder (+ ControlNet
+    # mid-residual) cache
+    eps0, enc, mid_res = eps_at(
+        latents, ts_a[0], sig_a[0], ip_arr[0], want_enc=True
+    )
     latents = guide_step(latents, eps0, sig_a[0], sign_a[0])
 
     def body(carry, i):
-        lat, enc = carry
+        lat, enc, mid_res = carry
         t, sig, sig_n, ip_s = ts_a[i], sig_a[i], sign_a[i], ip_arr[i]
         is_key = (i % encoder_interval) == 0
 
@@ -354,13 +366,15 @@ def _denoise_encoder_prop(
             return eps_at(lat_, t, sig, ip_s, want_enc=True)
 
         def reuse(lat_):
-            return eps_at(lat_, t, sig, ip_s, enc=enc), enc
+            return eps_at(lat_, t, sig, ip_s, enc=enc, mid_res=mid_res), enc, mid_res
 
-        eps, enc_new = jax.lax.cond(is_key, full, reuse, lat)
+        eps, enc_new, mid_new = jax.lax.cond(is_key, full, reuse, lat)
         lat = guide_step(lat, eps, sig, sig_n)
-        return (lat, enc_new), ()
+        return (lat, enc_new, mid_new), ()
 
-    (latents, _), _ = jax.lax.scan(body, (latents, enc), jnp.arange(1, n))
+    (latents, _, _), _ = jax.lax.scan(
+        body, (latents, enc, mid_res), jnp.arange(1, n)
+    )
     return latents
 
 

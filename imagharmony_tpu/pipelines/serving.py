@@ -247,14 +247,18 @@ class ContinuousWorker(threading.Thread):
     a time (pipelines/continuous.SlotEngine); at every chunk boundary
     finished slots are decoded and freed, and queued requests with the same
     static options are admitted into free slots mid-flight. Requests with a
-    different batch key wait until the engine drains.
+    different batch key wait until the engine drains; once any mismatched
+    request has waited longer than ``fairness_timeout_s``, same-key
+    admissions pause so the engine can drain (otherwise steady same-key
+    traffic would starve mismatched requests forever).
     """
 
-    def __init__(self, pipe, *, max_batch=4, chunk=5):
+    def __init__(self, pipe, *, max_batch=4, chunk=5, fairness_timeout_s=30.0):
         super().__init__(daemon=True)
         self.pipe = pipe
         self.max_batch = max_batch
         self.chunk = chunk
+        self.fairness_timeout_s = fairness_timeout_s
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self.running = True
         self.pack_errors = 0
@@ -344,8 +348,23 @@ class ContinuousWorker(threading.Thread):
                     pending.append(self.q.get_nowait())
                 except queue.Empty:
                     break
+            # fairness bookkeeping: stamp when each request started waiting;
+            # a request past the threshold switches service to FIFO-by-wait
+            # so steady same-key traffic cannot starve a mismatched key
+            now = time.time()
+            for req in pending:
+                if not hasattr(req, "_pend_t0"):
+                    req._pend_t0 = now
+            starved = [
+                req for req in pending
+                if now - req._pend_t0 > self.fairness_timeout_s
+            ]
             if engine is None and pending:
-                first = pending[0]
+                # rebuild from the longest-waiting starved request if any
+                # (plain pending[0] could be a just-deferred same-key request,
+                # which would re-trigger the drain forever)
+                first = (min(starved, key=lambda r: r._pend_t0)
+                         if starved else pending[0])
                 try:
                     engine = self._make_engine(first)
                     self._engine = engine
@@ -354,14 +373,26 @@ class ContinuousWorker(threading.Thread):
                     log.error("continuous engine init failed: %s", e)
                     first.error = f"{type(e).__name__}: {e}"
                     first.event.set()
-                    pending.pop(0)
+                    pending.remove(first)
                     continue
             if engine is None:
                 continue
 
+            # fairness rule: while a MISMATCHED request is starved, service
+            # degrades to FIFO-by-wait — same-key requests younger than the
+            # oldest starved mismatch are deferred, so the engine drains and
+            # the rebuild above serves the starved request next. Same-key
+            # requests OLDER than it still run (they were ahead in line).
+            oldest_mismatch = min(
+                (r._pend_t0 for r in starved if r.batch_key() != key),
+                default=None,
+            )
+
             still = []
             for req in pending:
-                if req.batch_key() == key and engine.free_slots():
+                if (req.batch_key() == key and engine.free_slots()
+                        and (oldest_mismatch is None
+                             or req._pend_t0 <= oldest_mismatch)):
                     prog = engine.progress()
                     mid = int(prog.min()) if engine.active() else 0
                     try:

@@ -36,6 +36,25 @@ def test_chunked_matches_one_jit(pipe, ref_image):
     np.testing.assert_array_equal(a, c)
 
 
+def test_chunked_matches_one_jit_multi_sample(pipe, ref_image):
+    """Scalar seed + num_samples>1: both paths must draw all rows from ONE
+    PRNGKey (harmony_edit generate's scalar-seed branch), so the chunked
+    runner returns bit-identical images — and seed=9 row 1 must NOT equal
+    seed=10 row 0 (the old seed+i derivation collided there)."""
+    kw = dict(KW, num_samples=2)
+    a = pipe.generate(pil_image=ref_image, output_type="np", **kw)
+    b = pipe.generate(pil_image=ref_image, output_type="np", chunk_steps=2, **kw)
+    np.testing.assert_array_equal(a, b)
+    kw10 = dict(kw, seed=10)
+    d = pipe.generate(pil_image=ref_image, output_type="np", chunk_steps=2, **kw10)
+    assert not np.array_equal(b[1], d[0])
+    # per-sample seed lists keep per-row keys on both paths
+    kwl = dict(KW, num_samples=2, seed=[3, 4])
+    e = pipe.generate(pil_image=ref_image, output_type="np", **kwl)
+    f = pipe.generate(pil_image=ref_image, output_type="np", chunk_steps=2, **kwl)
+    np.testing.assert_array_equal(e, f)
+
+
 def test_progress_callback_fires(pipe, ref_image):
     """callback_on_step_end fires at chunk boundaries with rising steps —
     the reference's Gradio progress role (demo.py:112,127)."""
@@ -226,6 +245,38 @@ def test_continuous_worker_batch_key_change_drains(pipe):
         r2 = worker.submit(dict(prompt="a cat", steps=3, height=32, width=32))
         assert r2.event.wait(120), "key-changing request never served (drain bug)"
         assert r2.error is None
+    finally:
+        worker.running = False
+
+
+def test_continuous_worker_fairness_no_starvation(pipe):
+    """Same-key traffic arriving AFTER a mismatched-key request must not
+    starve it: past the fairness timeout, service degrades to FIFO-by-wait,
+    so the engine drains and the mismatched request runs before the younger
+    same-key backlog (previously it waited for a full drain that steady
+    traffic never allowed)."""
+    from imagharmony_tpu.pipelines import serving
+
+    worker = serving.ContinuousWorker(
+        pipe, max_batch=1, chunk=1, fairness_timeout_s=0.0
+    )
+    worker.start()
+    try:
+        a_key = dict(prompt="a dog", steps=4, height=32, width=32)
+        r1 = worker.submit(dict(a_key))
+        # mismatched key (different steps); timeout 0 -> starved immediately
+        rb = worker.submit(dict(prompt="a cat", steps=3, height=32, width=32))
+        time.sleep(0.5)  # let the worker stamp rb's wait-start first
+        # same-key traffic behind the mismatched request (max_batch=1: these
+        # would keep the engine busy forever under the old drain-only rule)
+        backlog = [worker.submit(dict(a_key, seed=i)) for i in range(3)]
+        assert rb.event.wait(240), "mismatched-key request starved"
+        assert rb.error is None
+        # FIFO held: at B's completion the younger backlog is not all done
+        assert any(not r.event.is_set() for r in backlog)
+        for r in backlog:
+            assert r.event.wait(240) and r.error is None
+        assert r1.event.wait(240) and r1.error is None
     finally:
         worker.running = False
 

@@ -218,6 +218,92 @@ def test_encoder_split_is_exact():
     np.testing.assert_array_equal(np.asarray(full), np.asarray(reused))
 
 
+def test_encoder_split_mid_residual_semantics():
+    """The cached encoder features bake in DOWN-block residuals but not the
+    mid-block residual (applied after the cache point, unet.apply): reuse
+    with encoder_override must re-pass mid_block_additional_residual to
+    reproduce the full forward — dropping it (the round-2 --turbo+ControlNet
+    bug) gives a different output."""
+    cfg = unet.tiny_config()
+    params = unet.init(0, cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    kw = dict(
+        pooled_text_embeds=jax.random.normal(ks[0], (2, 32)),
+        time_ids=jnp.tile(jnp.array([[32.0, 32, 0, 0, 32, 32]]), (2, 1)),
+        ip_tokens=jax.random.normal(ks[1], (2, 4, cfg.cross_attention_dim)),
+        policy=FP32,
+    )
+    sample = jax.random.normal(ks[2], (2, 8, 8, 4))
+    t = jnp.array([500, 500])
+    ctx = jax.random.normal(ks[3], (2, 9, cfg.cross_attention_dim))
+    # mid-block spatial dims: 8 // 2^(n_downsamples); tiny_config has
+    # len(block_out_channels)-1 downsamples
+    probe = unet.apply(params, cfg, sample, t, ctx, return_encoder=True, **kw)
+    mid_shape = probe[1][1].shape
+    mid = 0.1 * jax.random.normal(ks[4], mid_shape)
+    full = unet.apply(
+        params, cfg, sample, t, ctx, mid_block_additional_residual=mid, **kw
+    )
+    out, enc = unet.apply(
+        params, cfg, sample, t, ctx, mid_block_additional_residual=mid,
+        return_encoder=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+    with_mid = unet.apply(
+        params, cfg, sample, t, ctx, encoder_override=enc,
+        mid_block_additional_residual=mid, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(with_mid))
+    without_mid = unet.apply(params, cfg, sample, t, ctx, encoder_override=enc, **kw)
+    assert np.abs(np.asarray(full) - np.asarray(without_mid)).max() > 0
+
+
+def test_encoder_propagation_turbo_controlnet(ref_image):
+    """--turbo with a live ControlNet: the mid-block residual is carried
+    through the scan and applied on reuse steps — the control signal must
+    steer the turbo output (scale 0 vs 1 differ), run deterministically,
+    and a pure-reuse schedule (steps=2, interval=2: step 1 reuses) must
+    still see the mid residual (differs from mid-zeroed params)."""
+    import copy
+    import dataclasses
+
+    from imagharmony_tpu.models import controlnet as cn_lib
+    from imagharmony_tpu.models import tokenizer as tok_lib
+    from imagharmony_tpu.pipelines import components as comp
+
+    toy = tok_lib.build_toy_tokenizer()
+    base = comp.tiny_configs(vocab_size=len(toy.encoder))
+    ccfg = cn_lib.ControlNetConfig(
+        base=base.unet, conditioning_embedding_channels=(8, 16)
+    )
+    cfgs = dataclasses.replace(base, controlnet=ccfg)
+    params = comp.init_params(0, cfgs)
+    emb_out = params["controlnet"]["controlnet_cond_embedding"]["conv_out"]
+    emb_out["weight"] = np.full_like(emb_out["weight"], 0.01)
+    # ONLY the mid zero-conv is live: any control influence flows through
+    # mid_block_additional_residual, so reuse steps dropping it would show
+    mid_zc = params["controlnet"]["controlnet_mid_block"]
+    mid_zc["weight"] = np.full_like(mid_zc["weight"], 0.05)
+    cn = HarmonyPipeline(params, cfgs, tok_lib.SDXLTokenizers(toy, toy))
+
+    cond = np.random.default_rng(3).integers(0, 255, (32, 32, 3), np.uint8)
+    kw = dict(prompt="a dog", num_inference_steps=2, height=32, width=32,
+              seed=7, output_type="np", encoder_interval=2)
+    steered = cn.generate(pil_image=ref_image, control_image=cond, **kw)
+    unsteered = cn.generate(pil_image=ref_image, control_image=cond,
+                            controlnet_conditioning_scale=0.0, **kw)
+    assert np.abs(steered.astype(int) - unsteered.astype(int)).max() > 0
+    again = cn.generate(pil_image=ref_image, control_image=cond, **kw)
+    np.testing.assert_array_equal(steered, again)
+
+    # dead mid zero-conv ⇒ no residual anywhere ⇒ must match scale=0 exactly
+    params2 = copy.deepcopy(params)
+    params2["controlnet"]["controlnet_mid_block"]["weight"][...] = 0.0
+    cn2 = HarmonyPipeline(params2, cfgs, tok_lib.SDXLTokenizers(toy, toy))
+    dead = cn2.generate(pil_image=ref_image, control_image=cond, **kw)
+    np.testing.assert_array_equal(dead, unsteered)
+
+
 def test_encoder_propagation_turbo(pipe, ref_image):
     """encoder_interval=2 (the --turbo preset, arXiv 2312.09608): runs,
     differs from the exact schedule, stays structurally close, and is
