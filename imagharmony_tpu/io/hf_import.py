@@ -29,6 +29,7 @@ _EMBEDDING_PARENTS = {
     "position_embedding",
     "modality_embed",
     "shared_embedding",
+    "pos_emb",  # Resampler positional table (reference resampler.py:97)
 }
 
 # Our-tree segment → HF key segment rewrites.

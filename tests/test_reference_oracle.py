@@ -1,0 +1,434 @@
+"""Numerical parity against the reference's OWN torch modules.
+
+The reference modules under /root/reference that import without diffusers
+(`ip_adapter/attention_processor.py`, `ip_adapter/resampler.py`,
+`baseline.py`) are loaded and executed directly as oracles; the classes
+buried in diffusers-importing files (`train.py` HarmonyAttention,
+`ip_adapter/ip_adapter.py` ImageProjModel/MLPProjModel,
+`shared_models.py` Composed_Attention) are ast-extracted or loaded behind
+a one-line diffusers stub. Weights are copied torch -> our pytrees (for
+the HA modules via the real `io.checkpoints.import_harmony` ingestion
+path, so the checkpoint key mapping is proven at the same time) and the
+forwards must agree to ~1e-5 in fp32.
+
+This upgrades the adapter-layer tests from "torch-builtin oracle"
+(TransformerEncoderLayer, F.scaled_dot_product_attention) to
+"reference-code oracle": the core-novelty math — HA fusion x4, decoupled
+IP attention with skip semantics, Perceiver resampler, projections — is
+checked against the actual reference implementation, not a re-derivation.
+"""
+
+import ast
+import contextlib
+import importlib.util
+import io as _io
+import sys
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from imagharmony_tpu import dtypes
+from imagharmony_tpu.adapters import harmony, projections, resampler
+from imagharmony_tpu.io import checkpoints
+from imagharmony_tpu.nn import attention as nn_attention
+
+REF = "/root/reference"
+FP32 = dtypes.FP32
+TOL = dict(rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Reference-module loading (no diffusers installed; no code copied — the
+# files are executed in place as oracles)
+# ---------------------------------------------------------------------------
+
+
+def _load_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _exec_classes(path, class_names, namespace):
+    """Execute only the named top-level classes from a reference file into
+    ``namespace`` (the file itself imports diffusers/accelerate at module
+    scope, which are not installed here)."""
+    src = open(path).read()
+    tree = ast.parse(src)
+    picked = [n for n in tree.body if isinstance(n, ast.ClassDef) and n.name in class_names]
+    assert len(picked) == len(class_names), (path, class_names)
+    mod = ast.Module(body=picked, type_ignores=[])
+    exec(compile(mod, path, "exec"), namespace)
+    return namespace
+
+
+@contextlib.contextmanager
+def _diffusers_stub():
+    """shared_models.py needs only `diffusers.models.attention_processor
+    .Attention` to exist (imported, never used)."""
+    created = []
+    for name in ("diffusers", "diffusers.models", "diffusers.models.attention_processor"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+    sys.modules["diffusers.models.attention_processor"].Attention = object
+    try:
+        yield
+    finally:
+        for name in created:
+            del sys.modules[name]
+
+
+@pytest.fixture(scope="module")
+def ref():
+    ap = _load_module("_ref_attn_proc", f"{REF}/ip_adapter/attention_processor.py")
+    rs = _load_module("_ref_resampler", f"{REF}/ip_adapter/resampler.py")
+    bl = _load_module("_ref_baseline", f"{REF}/baseline.py")
+    ha_ns = {
+        "torch": torch,
+        "nn": torch.nn,
+        "F": torch.nn.functional,
+        "Cross_Attention": ap.Cross_Attention,
+        "QFormer": bl.QFormer,
+        "MLP": bl.MLP,
+        "AttentionFusionWrapper": bl.AttentionFusionWrapper,
+        "print": lambda *a, **k: None,  # train.py:209,258,260 debug prints
+    }
+    _exec_classes(f"{REF}/train.py", ["HarmonyAttention"], ha_ns)
+    pm_ns = {"torch": torch}
+    _exec_classes(f"{REF}/ip_adapter/ip_adapter.py", ["ImageProjModel", "MLPProjModel"], pm_ns)
+    with _diffusers_stub():
+        sm = _load_module("_ref_shared_models", f"{REF}/shared_models.py")
+    ns = types.SimpleNamespace(
+        attention_processor=ap,
+        resampler=rs,
+        baseline=bl,
+        HarmonyAttention=ha_ns["HarmonyAttention"],
+        ImageProjModel=pm_ns["ImageProjModel"],
+        MLPProjModel=pm_ns["MLPProjModel"],
+        Composed_Attention=sm.Composed_Attention,
+    )
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# weight-copy helpers (torch layout -> ours)
+# ---------------------------------------------------------------------------
+
+
+def _lin(m):
+    d = {"weight": m.weight.detach().numpy().T.copy()}
+    if m.bias is not None:
+        d["bias"] = m.bias.detach().numpy().copy()
+    return d
+
+
+def _ln(m):
+    return {
+        "weight": m.weight.detach().numpy().copy(),
+        "bias": m.bias.detach().numpy().copy(),
+    }
+
+
+def _state_numpy(mod):
+    return {k: v.detach().numpy().copy() for k, v in mod.state_dict().items()}
+
+
+def _quiet(fn, *args):
+    with contextlib.redirect_stdout(_io.StringIO()):
+        with torch.no_grad():
+            return fn(*args).numpy()
+
+
+# ---------------------------------------------------------------------------
+# Cross_Attention — the HA fusion core (attention_processor.py:12-56)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_attention_vs_reference(ref):
+    """sqrt(head_dim) divisor + separately-sized value dim, against the
+    reference's own Cross_Attention forward."""
+    m = ref.attention_processor.Cross_Attention(
+        query_dim=64, context_dim=48, heads=4, value_dim=8
+    ).eval()
+    cfg = harmony.HarmonyConfig(
+        text_context_dim=48, inter_dim=256, cross_heads=4,
+        reshape_blocks=4, cross_value_dim=8,
+    )
+    assert cfg.query_dim == 64
+    p = {"to_q": _lin(m.to_q), "to_k": _lin(m.to_k),
+         "to_v": _lin(m.to_v), "out_proj": _lin(m.out_proj)}
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, 64)).astype(np.float32)
+    text = rng.normal(size=(2, 7, 48)).astype(np.float32)
+    theirs = _quiet(m, torch.tensor(x), torch.tensor(text))
+    ours = np.asarray(harmony._cross_attention(p, cfg, jnp.array(x), jnp.array(text), policy=FP32))
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+# ---------------------------------------------------------------------------
+# Decoupled IP attention (attention_processor.py:335-465) + vanilla 2_0
+# ---------------------------------------------------------------------------
+
+
+class _DuckAttn(torch.nn.Module):
+    """Minimal stand-in for the diffusers Attention module the processors
+    duck-type against (only the attributes the __call__ paths touch)."""
+
+    def __init__(self, query_dim, context_dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.to_q = torch.nn.Linear(query_dim, query_dim, bias=False)
+        self.to_k = torch.nn.Linear(context_dim, query_dim, bias=False)
+        self.to_v = torch.nn.Linear(context_dim, query_dim, bias=False)
+        self.to_out = torch.nn.ModuleList(
+            [torch.nn.Linear(query_dim, query_dim), torch.nn.Dropout(0.0)]
+        )
+        self.spatial_norm = None
+        self.group_norm = None
+        self.norm_cross = False
+        self.residual_connection = False
+        self.rescale_output_factor = 1.0
+
+
+def _our_attn_params(duck, proc=None):
+    p = {"to_q": _lin(duck.to_q), "to_k": _lin(duck.to_k),
+         "to_v": _lin(duck.to_v), "to_out": _lin(duck.to_out[0])}
+    if proc is not None:
+        p["to_k_ip"] = _lin(proc.to_k_ip)
+        p["to_v_ip"] = _lin(proc.to_v_ip)
+    return p
+
+
+@pytest.mark.parametrize("skip", [False, True])
+def test_ip_attn_processor_2_0_vs_reference(ref, skip):
+    """The decoupled text+IP cross attention: the reference concatenates the
+    4 IP tokens onto the text tokens and re-splits inside the processor
+    (attention_processor.py:402-406); we keep them separate. Same math:
+    out = text_attn + scale * ip_attn, and skip=True bypasses the IP branch
+    while keeping its weights."""
+    heads, qd, cd, n_ip, scale = 4, 64, 48, 4, 0.7
+    duck = _DuckAttn(qd, cd, heads).eval()
+    proc = ref.attention_processor.IPAttnProcessor2_0(
+        hidden_size=qd, cross_attention_dim=cd, scale=scale,
+        num_tokens=n_ip, skip=skip,
+    ).eval()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 10, qd)).astype(np.float32)
+    text = rng.normal(size=(2, 7, cd)).astype(np.float32)
+    ip = rng.normal(size=(2, n_ip, cd)).astype(np.float32)
+    enc = np.concatenate([text, ip], axis=1)  # reference packing
+    theirs = _quiet(proc, duck, torch.tensor(x), torch.tensor(enc))
+    ours = np.asarray(
+        nn_attention.attention(
+            _our_attn_params(duck, proc),
+            jnp.array(x),
+            heads=heads,
+            context=jnp.array(text),
+            ip_context=None if skip else jnp.array(ip),
+            ip_scale=scale,
+            policy=FP32,
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+def test_attn_processor_2_0_self_attention_vs_reference(ref):
+    """Vanilla AttnProcessor2_0 (attention_processor.py:244-332), the
+    non-IP layers' path, self-attention mode."""
+    heads, qd = 4, 64
+    duck = _DuckAttn(qd, qd, heads).eval()
+    proc = ref.attention_processor.AttnProcessor2_0()
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 12, qd)).astype(np.float32)
+    with torch.no_grad():
+        theirs = proc(duck, torch.tensor(x)).numpy()
+    ours = np.asarray(
+        nn_attention.attention(_our_attn_params(duck), jnp.array(x), heads=heads, policy=FP32)
+    )
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+# ---------------------------------------------------------------------------
+# Resampler (resampler.py:81-147)
+# ---------------------------------------------------------------------------
+
+
+def _copy_resampler(m, cfg):
+    params = {
+        "latents": m.latents.detach().numpy().copy(),
+        "proj_in": _lin(m.proj_in),
+        "proj_out": _lin(m.proj_out),
+        "norm_out": _ln(m.norm_out),
+        "layers": [],
+    }
+    for attn, ff in m.layers:
+        params["layers"].append(
+            {
+                "0": {
+                    "norm1": _ln(attn.norm1),
+                    "norm2": _ln(attn.norm2),
+                    "to_q": _lin(attn.to_q),
+                    "to_kv": _lin(attn.to_kv),
+                    "to_out": _lin(attn.to_out),
+                },
+                "1": {"0": _ln(ff[0]), "1": _lin(ff[1]), "3": _lin(ff[3])},
+            }
+        )
+    if m.pos_emb is not None:
+        params["pos_emb"] = {"weight": m.pos_emb.weight.detach().numpy().copy()}
+    if m.to_latents_from_mean_pooled_seq is not None:
+        seq = m.to_latents_from_mean_pooled_seq
+        params["to_latents_from_mean_pooled_seq"] = {"0": _ln(seq[0]), "1": _lin(seq[1])}
+    return params
+
+
+@pytest.mark.parametrize("pos_emb,mean_pooled", [(False, 0), (True, 2)])
+def test_resampler_vs_reference(ref, pos_emb, mean_pooled):
+    """Perceiver resampler end-to-end vs the reference module, both the
+    plain IPAdapterPlus shape and the pos-emb + mean-pooled-latents config
+    (resampler.py:92-94,106-114,137-140)."""
+    kw = dict(dim=64, depth=2, dim_head=16, heads=4, num_queries=8,
+              embedding_dim=48, output_dim=56, ff_mult=2, max_seq_len=12,
+              apply_pos_emb=pos_emb, num_latents_mean_pooled=mean_pooled)
+    m = ref.resampler.Resampler(**kw).eval()
+    cfg = resampler.ResamplerConfig(**kw)
+    params = _copy_resampler(m, cfg)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 10, 48)).astype(np.float32)
+    theirs = _quiet(m, torch.tensor(x))
+    ours = np.asarray(resampler.apply(params, cfg, jnp.array(x), policy=FP32))
+    assert ours.shape == theirs.shape == (2, 8 + mean_pooled, 56)
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+# ---------------------------------------------------------------------------
+# Projections (ip_adapter.py:28-66)
+# ---------------------------------------------------------------------------
+
+
+def test_image_proj_model_vs_reference(ref):
+    m = ref.ImageProjModel(
+        cross_attention_dim=20, clip_embeddings_dim=24, clip_extra_context_tokens=4
+    ).eval()
+    p = {"proj": _lin(m.proj), "norm": _ln(m.norm)}
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(3, 24)).astype(np.float32)
+    theirs = _quiet(m, torch.tensor(emb))
+    ours = np.asarray(projections.image_proj(p, jnp.array(emb), num_tokens=4, policy=FP32))
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+def test_mlp_proj_model_vs_reference(ref):
+    m = ref.MLPProjModel(cross_attention_dim=20, clip_embeddings_dim=24).eval()
+    p = {"proj": {"0": _lin(m.proj[0]), "2": _lin(m.proj[2]), "3": _ln(m.proj[3])}}
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 6, 24)).astype(np.float32)
+    theirs = _quiet(m, torch.tensor(x))
+    ours = np.asarray(projections.mlp_proj(p, jnp.array(x), policy=FP32))
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+# ---------------------------------------------------------------------------
+# HarmonyAttention — all four fusion variants (train.py:188-266 +
+# baseline.py), weights ingested through the REAL checkpoint import path
+# ---------------------------------------------------------------------------
+
+# The reference sizes ln/fc2 as cross_value_dim*cross_heads*reshape_blocks
+# regardless of fusion (train.py:237-239) and hardcodes image_feat_dim=320 /
+# text_feat_dim=2048 defaults in the baseline fusions — these dims satisfy
+# both so the reference module itself runs end-to-end:
+#   qformer/mlp/gated: query_dim = 640/2 = 320, 16*320 == 256*10*2 == 5120
+_HA_DIMS = {
+    "cross_attention": dict(image_hidden_size=64, text_context_dim=48,
+                            inter_dim=256, cross_heads=4, reshape_blocks=4,
+                            cross_value_dim=8),
+    "qformer": dict(image_hidden_size=64, text_context_dim=2048,
+                    inter_dim=640, cross_heads=10, reshape_blocks=2,
+                    cross_value_dim=256),
+    "mlp": dict(image_hidden_size=64, text_context_dim=2048,
+                inter_dim=640, cross_heads=10, reshape_blocks=2,
+                cross_value_dim=256),
+    "gated-attention": dict(image_hidden_size=64, text_context_dim=2048,
+                            inter_dim=640, cross_heads=10, reshape_blocks=2,
+                            cross_value_dim=256),
+}
+
+
+@pytest.mark.parametrize("method", harmony.FUSION_METHODS)
+def test_harmony_attention_vs_reference(ref, method):
+    """End-to-end HA forward (fc1 -> reshape -> fusion -> LN -> fc2 * scale)
+    against the reference's HarmonyAttention for every fusion_method, with
+    the torch state_dict ingested via io.checkpoints.import_harmony — this
+    proves the math AND the checkpoint key mapping in one shot."""
+    dims = _HA_DIMS[method]
+    with contextlib.redirect_stdout(_io.StringIO()):
+        m = ref.HarmonyAttention(
+            image_hidden_size=dims["image_hidden_size"],
+            text_context_dim=dims["text_context_dim"],
+            inter_dim=dims["inter_dim"],
+            cross_heads=dims["cross_heads"],
+            reshape_blocks=dims["reshape_blocks"],
+            cross_value_dim=dims["cross_value_dim"],
+            scale=0.5,
+            fusion_method=method,
+        ).eval()
+    cfg = harmony.HarmonyConfig(scale=0.5, fusion_method=method, **dims)
+    template = harmony.init(0, cfg)
+    params = checkpoints.import_harmony(template, _state_numpy(m))
+    rng = np.random.default_rng(6)
+    b = 1 if method == "qformer" else 2
+    text = rng.normal(size=(b, 7, dims["text_context_dim"])).astype(np.float32)
+    img = rng.normal(size=(b, dims["image_hidden_size"])).astype(np.float32)
+    theirs = _quiet(m, torch.tensor(text), torch.tensor(img))
+    ours = np.asarray(harmony.apply(params, cfg, jnp.array(text), jnp.array(img), policy=FP32))
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+def test_composed_attention_vs_reference(ref):
+    """Legacy Composed_Attention (shared_models.py:88-122, batch-1 reshapes)
+    == our legacy_composed_config HA, with the reference state_dict's
+    `cross_attention.*` keys mapped by import_harmony."""
+    with contextlib.redirect_stdout(_io.StringIO()):
+        m = ref.Composed_Attention(hidden_size=1280).eval()
+    cfg = harmony.legacy_composed_config()
+    template = harmony.init(0, cfg)
+    params = checkpoints.import_harmony(template, _state_numpy(m))
+    rng = np.random.default_rng(7)
+    text = rng.normal(size=(1, 5, 2048)).astype(np.float32)
+    img = rng.normal(size=(1, 1280)).astype(np.float32)
+    theirs = _quiet(m, torch.tensor(text), torch.tensor(img))
+    ours = np.asarray(harmony.apply(params, cfg, jnp.array(text), jnp.array(img), policy=FP32))
+    np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+def test_fuse_composition_matches_reference_call_site(ref):
+    """The call-site composition image_embed + HA(text, image) (reference
+    train.py:304-307, ip_adapter.py:170-175) through the reference module."""
+    dims = _HA_DIMS["cross_attention"]
+    with contextlib.redirect_stdout(_io.StringIO()):
+        m = ref.HarmonyAttention(
+            image_hidden_size=dims["image_hidden_size"],
+            text_context_dim=dims["text_context_dim"],
+            inter_dim=dims["inter_dim"],
+            cross_heads=dims["cross_heads"],
+            reshape_blocks=dims["reshape_blocks"],
+            cross_value_dim=dims["cross_value_dim"],
+            fusion_method="cross_attention",
+        ).eval()
+    cfg = harmony.HarmonyConfig(fusion_method="cross_attention", **dims)
+    params = checkpoints.import_harmony(harmony.init(0, cfg), _state_numpy(m))
+    rng = np.random.default_rng(8)
+    text = rng.normal(size=(2, 4, dims["text_context_dim"])).astype(np.float32)
+    img = rng.normal(size=(2, dims["image_hidden_size"])).astype(np.float32)
+    with contextlib.redirect_stdout(_io.StringIO()), torch.no_grad():
+        theirs = (torch.tensor(img) + m(torch.tensor(text), torch.tensor(img))).numpy()
+    ours = np.asarray(
+        harmony.fuse_image_embeds(params, cfg, jnp.array(text), jnp.array(img), policy=FP32)
+    )
+    np.testing.assert_allclose(ours, theirs, **TOL)
