@@ -64,3 +64,57 @@ def test_distributed_single_host_noop():
     assert distributed.initialize() is False
     assert distributed.is_main_process()
     assert distributed.local_batch_slice(8) == slice(0, 8)
+
+
+def _sdpa_ref(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v
+    )
+
+
+def test_pallas_interpret_under_mesh_dp_and_tp(monkeypatch):
+    """Pallas flash attention (fwd + custom_vjp bwd) executed UNDER GSPMD
+    sharding on the virtual mesh via interpret mode — co-testing the
+    partitioning logic with the kernel (round-2 gap: all mesh tests ran
+    XLA-only, all Pallas tests single-device). DP shards the batch axis,
+    TP the head axis — the two layouts with_mesh / tp_rules produce."""
+    from jax.sharding import NamedSharding
+
+    from imagharmony_tpu.kernels import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    B, H, S, D = 4, 2, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32)
+    scale = D**-0.5
+
+    def fwd(a, b, c):
+        out = fa.flash_attention(a, b, c, scale=scale)
+        assert out is not None, "fell off the pallas path"
+        return out
+
+    def loss(a, b, c):
+        return jnp.sum(fwd(a, b, c) ** 2)
+
+    ref = np.asarray(_sdpa_ref(q, k, v, scale))
+    g_ref = jax.grad(lambda a, b, c: jnp.sum(_sdpa_ref(a, b, c, scale) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+
+    m = mesh_lib.make_mesh(n_data=4, n_model=2)
+    shardings = {
+        "dp": NamedSharding(m, P("data")),           # batch rows
+        "tp": NamedSharding(m, P(None, "model")),    # head axis
+    }
+    for name, sh in shardings.items():
+        qs, ks_, vs = (jax.device_put(t, sh) for t in (q, k, v))
+        out = np.asarray(jax.jit(fwd)(qs, ks_, vs))
+        np.testing.assert_allclose(out, ref, rtol=5e-3, atol=5e-3, err_msg=name)
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks_, vs)
+        for g, gr, which in zip(grads, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(gr), rtol=2e-2, atol=2e-2,
+                err_msg=f"{name} d{which}",
+            )
