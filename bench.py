@@ -14,7 +14,7 @@ attention, batch 1 — widely reproduced public number for SDXL-base).
 BASELINE.json's target is ≥2x that on v5e.
 
 Env knobs:
-  IMAGHARMONY_BENCH_MODE   edit|train|serve  (default edit)
+  IMAGHARMONY_BENCH_MODE   edit|train|serve|e2e  (default edit)
   IMAGHARMONY_BENCH_SIZE   full|small|tiny   (default full on TPU)
   IMAGHARMONY_BENCH_STEPS  denoise steps     (default 30)
   IMAGHARMONY_BENCH_RES    output px         (default 1024; train: 512)
@@ -33,6 +33,12 @@ IP-Adapter fine-tune throughput).
 device program (the generate_batch serving fast path) and reports
 throughput images/sec/chip — latency rises ~linearly with the pack, so
 the headline metric stays the single-edit p50 (mode=edit).
+
+``e2e`` mode measures the TRUE user-facing edit through the real
+``HarmonyPipeline.generate()`` entry (host preprocessing + tokenize +
+CLIP text x2 + CLIP vision + HA fusion + 30-step denoise + VAE decode +
+host fetch — the reference operating surface, test.py:28-39), vs the
+``edit`` headline which times the pre-conditioned denoise+decode core.
 """
 
 import json
@@ -92,6 +98,52 @@ def bench_train(size, on_tpu, platform):
           file=sys.stderr)
 
 
+def bench_e2e(size, on_tpu, platform):
+    """The user-facing generate() latency (reference test.py:28-39 surface):
+    512² input image, prompt + extra_text (HA active), res² output."""
+    import numpy as np
+
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+
+    steps = int(os.environ.get("IMAGHARMONY_BENCH_STEPS", "30"))
+    res = int(os.environ.get("IMAGHARMONY_BENCH_RES", "1024" if size == "full" else "64"))
+    if size == "full":
+        pipe = HarmonyPipeline.random_full(seed=0)
+    else:
+        pipe = HarmonyPipeline.random_tiny(seed=0)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+    kw = dict(
+        pil_image=img, prompt="a photo of eight sheep", extra_text="six dogs",
+        num_inference_steps=steps, height=res, width=res, seed=42,
+        output_type="np",
+    )
+    t0 = time.time()
+    out = pipe.generate(**kw)
+    assert out.shape == (1, res, res, 3), out.shape
+    compile_s = time.time() - t0
+    reps = 3 if size == "full" else 2
+    lats = []
+    for _ in range(reps):
+        t0 = time.time()
+        pipe.generate(**kw)
+        lats.append(time.time() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    ips = 1.0 / (sum(lats) / len(lats))
+    a100_baseline = 0.40  # same provenance as mode=edit (BASELINE.md)
+    print(json.dumps({
+        "metric": f"images/sec/chip, {steps}-step {res}x{res} e2e generate() ({size})",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / a100_baseline, 3),
+        "p50_latency_s": round(p50, 3),
+        "e2e_p50_s": round(p50, 3),
+    }))
+    print(f"# e2e per-image {sum(lats)/len(lats):.2f}s | compile {compile_s:.0f}s "
+          f"| platform {platform}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -103,6 +155,9 @@ def main():
     if mode == "train":
         size = os.environ.get("IMAGHARMONY_BENCH_SIZE", "full" if on_tpu else "tiny")
         return bench_train(size, on_tpu, platform)
+    if mode == "e2e":
+        size = os.environ.get("IMAGHARMONY_BENCH_SIZE", "full" if on_tpu else "tiny")
+        return bench_e2e(size, on_tpu, platform)
 
     from imagharmony_tpu import dtypes
     from imagharmony_tpu.models import unet, vae

@@ -467,6 +467,17 @@ def _flash_nhd_bwd(scale, head_dim, kv_len, res, g):
 _flash_nhd.defvjp(_flash_nhd_fwd, _flash_nhd_bwd)
 
 
+def _nhd_lane_group(head_dim, hd):
+    """Lanes per grid group for packed (B, S, H·D) kernels, or None if the
+    packing is illegal (head_dim doesn't tile into 128 lanes)."""
+    if head_dim % 128 != 0 and 128 % head_dim != 0:
+        return None
+    g = head_dim if head_dim % 128 == 0 else 128
+    if hd % g != 0:
+        return None
+    return g
+
+
 def flash_attention_nhd(q, k, v, *, scale, head_dim):
     """Transpose-free fused attention on packed (B, S, H*D) tensors, or
     None to signal the caller to use the head-split path.
@@ -499,6 +510,224 @@ def flash_attention_nhd(q, k, v, *, scale, head_dim):
     kp = _pad_seq(k, 1, _PAD)
     vp = _pad_seq(v, 1, _PAD)
     out = _flash_nhd(qp, kp, vp, scale, head_dim, sk)
+    if qp.shape[1] != sq:
+        out = out[:, :sq, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fused CROSS attention (text Sk=77 / decoupled text+IP), packed layout
+# ---------------------------------------------------------------------------
+#
+# The ~70 text cross-attentions per UNet call run as XLA einsums: at Sq 4096
+# that materializes (Sq, 77) fp32 logits + probs in HBM per instance plus
+# the 4 head split/merge transposes. These kernels keep the short-K softmax
+# in VMEM on the packed (B, S, H·D) tensors — one HBM read of q/k/v, one
+# write of out. The decoupled variant (SURVEY §7: the IP branch is just a
+# second KV set with K-length 4) additionally fuses
+# out = softmax(q k_t) v_t + softmax(q k_ip) (ip_scale·v_ip)
+# in the same q pass, replacing the two-call XLA pair on the active IP
+# layer (reference attention_processor.py:423,440-442 roles).
+
+_CROSS_PAD = 128  # short-K quantum (77 -> 128, 4 -> 128)
+
+
+def _cross_ip_nhd_kernel(q_ref, k_ref, v_ref, kip_ref, vip_ref, o_ref, *,
+                         scale, head_dim, bf16_softmax, kv_valid, ip_valid):
+    q = q_ref[0]      # (BQ, G)
+    k = k_ref[0]      # (SkT, G)
+    v = v_ref[0]
+    kip = kip_ref[0]  # (SkI, G)
+    vip = vip_ref[0]  # pre-scaled by ip_scale (softmax is v-scale invariant)
+    outs = []
+    for h in range(q.shape[-1] // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qs = (q[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+
+        def branch(kb, vb, valid):
+            logits = jax.lax.dot_general(
+                qs, kb[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = _mask_cols(logits, valid)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            if bf16_softmax:
+                e = jnp.exp2((logits - m).astype(jnp.bfloat16))
+                denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            else:
+                e = jnp.exp2(logits - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                e.astype(vb.dtype), vb[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return pv * jax.lax.reciprocal(denom)
+
+        out = branch(k, v, kv_valid)
+        if kip is not None:
+            out = out + branch(kip, vip, ip_valid)
+        outs.append(out)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _cross_nhd_impl(q, k, v, kip, vip, scale, head_dim, kv_len, ip_len):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, hd = q.shape
+    skt = k.shape[1]
+    g = _nhd_lane_group(head_dim, hd)
+    bq = _fwd_block_q(sq, skt)
+    bf16_softmax = q.dtype == jnp.bfloat16
+    with_ip = kip is not None
+    heads_per_group = g // head_dim
+
+    kernel = functools.partial(
+        _cross_ip_nhd_kernel, scale=scale, head_dim=head_dim,
+        bf16_softmax=bf16_softmax, kv_valid=kv_len, ip_valid=ip_len,
+    )
+    if not with_ip:
+        def kernel(qr, kr, vr, o, _k=None):  # text-only: drop the IP refs
+            _cross_ip_nhd_kernel(
+                qr, kr, vr, _NoRef, _NoRef, o, scale=scale,
+                head_dim=head_dim, bf16_softmax=bf16_softmax,
+                kv_valid=kv_len, ip_valid=ip_len,
+            )
+
+    in_specs = [
+        pl.BlockSpec((1, bq, g), lambda i, hp, j: (i, j, hp)),
+        pl.BlockSpec((1, skt, g), lambda i, hp, j: (i, 0, hp)),
+        pl.BlockSpec((1, skt, g), lambda i, hp, j: (i, 0, hp)),
+    ]
+    args = [q, k, v]
+    if with_ip:
+        ski = kip.shape[1]
+        in_specs += [
+            pl.BlockSpec((1, ski, g), lambda i, hp, j: (i, 0, hp)),
+            pl.BlockSpec((1, ski, g), lambda i, hp, j: (i, 0, hp)),
+        ]
+        args += [kip, vip]
+
+    grid = (b, hd // g, sq // bq)
+    sk_total = skt + (kip.shape[1] if with_ip else 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, g), lambda i, hp, j: (i, j, hp)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * (hd // head_dim) * sq * sk_total * head_dim,
+            bytes_accessed=(2 * q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * (hd // head_dim) * sq * sk_total,
+        ),
+        interpret=_INTERPRET,
+    )(*args)
+    return out
+
+
+class _NoRefT:
+    """Sentinel standing in for an absent kernel ref (text-only path)."""
+
+    def __getitem__(self, _):
+        return None
+
+
+_NoRef = _NoRefT()
+
+
+def _cross_xla_bwd(q, k, v, g, scale, kv_len, head_dim):
+    """XLA backward for the short-K cross branch: (Sq, 77) probs are ~1 MB
+    per head — no memory wall, so einsum is the right backward here."""
+    b, sq, hd = q.shape
+    h = hd // head_dim
+
+    def split(x):
+        return x.reshape(b, x.shape[1], h, head_dim).transpose(0, 2, 1, 3)
+
+    dq, dk, dv = _bwd_xla(split(q), split(k), split(v), split(g), scale, kv_len)
+
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], hd)
+
+    return merge(dq), merge(dk), merge(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_cross(q, k, v, scale, head_dim, kv_len):
+    return _cross_nhd_impl(q, k, v, None, None, scale, head_dim, kv_len, None)
+
+
+def _flash_cross_fwd(q, k, v, scale, head_dim, kv_len):
+    return _flash_cross(q, k, v, scale, head_dim, kv_len), (q, k, v)
+
+
+def _flash_cross_bwd(scale, head_dim, kv_len, res, g):
+    q, k, v = res
+    return _cross_xla_bwd(q, k, v, g, scale, kv_len, head_dim)
+
+
+_flash_cross.defvjp(_flash_cross_fwd, _flash_cross_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_cross_ip(q, k, v, kip, vip, scale, head_dim, kv_len, ip_len):
+    return _cross_nhd_impl(q, k, v, kip, vip, scale, head_dim, kv_len, ip_len)
+
+
+def _flash_cross_ip_fwd(q, k, v, kip, vip, scale, head_dim, kv_len, ip_len):
+    return (
+        _flash_cross_ip(q, k, v, kip, vip, scale, head_dim, kv_len, ip_len),
+        (q, k, v, kip, vip),
+    )
+
+
+def _flash_cross_ip_bwd(scale, head_dim, kv_len, ip_len, res, g):
+    q, k, v, kip, vip = res
+    dq_t, dk, dv = _cross_xla_bwd(q, k, v, g, scale, kv_len, head_dim)
+    dq_i, dkip, dvip = _cross_xla_bwd(q, kip, vip, g, scale, ip_len, head_dim)
+    return dq_t + dq_i, dk, dv, dkip, dvip
+
+
+_flash_cross_ip.defvjp(_flash_cross_ip_fwd, _flash_cross_ip_bwd)
+
+
+def flash_cross_nhd(q, k, v, *, scale, head_dim, k_ip=None, v_ip=None):
+    """Fused short-K cross attention on packed (B, S, H·D) tensors, or None
+    to signal the XLA fallback. When k_ip/v_ip are given, the decoupled IP
+    branch is fused into the same pass (pre-scale v_ip by ip_scale — the
+    softmax is invariant to V scaling, so this equals scale·ip_attn).
+
+    Covers the text (Sk=77) / IP (Sk=4) key lengths the long-K kernels
+    refuse; K is padded to the 128 quantum with in-kernel masking.
+    """
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    if not _on_tpu() or sk >= 512 or sq < 512:
+        return None
+    if _nhd_lane_group(head_dim, hd) is None:
+        _warn_once(
+            ("cross_lanes", hd, head_dim),
+            f"flash_cross_nhd: head_dim={head_dim}/model dim {hd} don't "
+            "pack into 128-lane groups; using the XLA path",
+        )
+        return None
+    qp = _pad_seq(q, 1, _CROSS_PAD)
+    kp = _pad_seq(k, 1, _CROSS_PAD)
+    vp = _pad_seq(v, 1, _CROSS_PAD)
+    if k_ip is not None:
+        kip = _pad_seq(k_ip, 1, _CROSS_PAD)
+        vip = _pad_seq(v_ip, 1, _CROSS_PAD)
+        out = _flash_cross_ip(
+            qp, kp, vp, kip, vip, scale, head_dim, sk, k_ip.shape[1]
+        )
+    else:
+        out = _flash_cross(qp, kp, vp, scale, head_dim, sk)
     if qp.shape[1] != sq:
         out = out[:, :sq, :]
     return out

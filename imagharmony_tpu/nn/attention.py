@@ -172,6 +172,11 @@ def attention(
     # Transpose-free fast path: self-attention through the packed-layout
     # Pallas kernel skips the 4 head split/merge relayouts entirely
     # (measured several ms/UNet-call of "data formatting" HBM traffic).
+    # The short-K cross paths deliberately stay on XLA: a fused Pallas
+    # cross/cross+IP kernel exists (kernels/flash_attention.flash_cross_nhd)
+    # and was probe-measured SLOWER than XLA's fused short-K softmax both in
+    # isolation (0.68 vs 0.58 ms at Sq=4096·h=10·Sk=77) and end-to-end
+    # (headline 0.299 vs 0.309 img/s) — see PERF.md levers table, round 3.
     if (
         context is None
         and mask is None

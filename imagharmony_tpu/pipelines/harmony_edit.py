@@ -523,6 +523,25 @@ class HarmonyPipeline:
         return cls(params, cfgs, toks)
 
     @classmethod
+    def random_full(cls, seed=0, *, dtype=None):
+        """Full-size random-weight SDXL pipeline (e2e benches, preset
+        validation drills): real SDXL/CLIP dims, toy tokenizer (random
+        weights make the vocab contents irrelevant — ids just index the
+        full-size embedding tables). bf16 storage on TPU by default."""
+        import jax.numpy as jnp
+
+        from imagharmony_tpu.models import tokenizer as tok_lib
+
+        if dtype is None:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        toy = tok_lib.build_toy_tokenizer()
+        cfgs = comp.sdxl_configs()
+        params = comp.init_params(jax.random.PRNGKey(seed), cfgs, dtype=dtype)
+        policy = dtypes.Policy(param_dtype=dtype, compute_dtype=jnp.bfloat16)
+        return cls(params, cfgs, tok_lib.SDXLTokenizers(toy, toy), policy=policy)
+
+    @classmethod
     def random_tiny_sd15(cls, seed=0):
         """Random-weight miniature SD1.5 pipeline (single text tower,
         vanilla IP-Adapter on all layers, no HA)."""

@@ -208,3 +208,110 @@ def test_block_size_rules():
             bb = fa._bwd_block_q(sq, sk)
             assert sq % bb == 0, (sq, sk, bb)
             assert bb * sk * 4 <= (1 << 21) or bb == 64, (sq, sk, bb)
+
+
+# ---------------------------------------------------------------------------
+# Fused short-K cross attention (text 77 / decoupled text+IP)
+# ---------------------------------------------------------------------------
+
+
+def _packed_ref(q, k, v, heads, scale):
+    b, s, hd = q.shape
+    d = hd // heads
+
+    def split(x):
+        return x.reshape(b, x.shape[1], heads, d).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) * scale
+    o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), split(v))
+    return o.transpose(0, 2, 1, 3).reshape(b, s, hd)
+
+
+def _cross_inputs(b=2, sq=1024, skt=77, ski=4, heads=4, d=64, dtype=jnp.float32):
+    hd = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    return (
+        jax.random.normal(ks[0], (b, sq, hd), dtype),
+        jax.random.normal(ks[1], (b, skt, hd), dtype),
+        jax.random.normal(ks[2], (b, skt, hd), dtype),
+        jax.random.normal(ks[3], (b, ski, hd), dtype),
+        jax.random.normal(ks[4], (b, ski, hd), dtype),
+    )
+
+
+def test_cross_nhd_parity_vs_xla(interpret_mode):
+    q, k, v, _, _ = _cross_inputs()
+    out = fa.flash_cross_nhd(q, k, v, scale=64**-0.5, head_dim=64)
+    assert out is not None
+    ref = _packed_ref(q, k, v, 4, 64**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_cross_nhd_fused_ip_parity(interpret_mode):
+    """out == text_attn + ip_scale * ip_attn (pre-scaled v_ip), the
+    decoupled semantics of reference attention_processor.py:450 fused in
+    one kernel pass."""
+    q, k, v, kip, vip = _cross_inputs()
+    s = 0.7
+    out = fa.flash_cross_nhd(
+        q, k, v, scale=64**-0.5, head_dim=64, k_ip=kip, v_ip=vip * s
+    )
+    assert out is not None
+    ref = _packed_ref(q, k, v, 4, 64**-0.5) + s * _packed_ref(q, kip, vip, 4, 64**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_cross_nhd_gradient_parity(interpret_mode):
+    q, k, v, kip, vip = _cross_inputs(sq=512)
+
+    def loss_p(*a):
+        return (fa.flash_cross_nhd(
+            a[0], a[1], a[2], scale=64**-0.5, head_dim=64,
+            k_ip=a[3], v_ip=a[4]) ** 2).sum()
+
+    def loss_x(*a):
+        return ((_packed_ref(a[0], a[1], a[2], 4, 64**-0.5)
+                 + _packed_ref(a[0], a[3], a[4], 4, 64**-0.5)) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=tuple(range(5)))(q, k, v, kip, vip)
+    gx = jax.grad(loss_x, argnums=tuple(range(5)))(q, k, v, kip, vip)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_cross_nhd_dispatch_rules(interpret_mode):
+    # long K belongs to the self-attention kernels
+    q, k, v, _, _ = _cross_inputs(skt=512)
+    assert fa.flash_cross_nhd(q, k, v, scale=0.125, head_dim=64) is None
+    # short queries: XLA is fine, skip the kernel
+    q, k, v, _, _ = _cross_inputs(sq=256)
+    assert fa.flash_cross_nhd(q, k, v, scale=0.125, head_dim=64) is None
+
+
+def test_attention_cross_stays_on_xla(interpret_mode):
+    """attention() keeps the short-K cross path on XLA even on
+    backend='pallas' — the fused cross kernel measured SLOWER than XLA's
+    short-K softmax fusion (PERF.md round-3 levers), so it exists as a
+    probed-and-rejected alternative, not a routing target. Outputs must be
+    bit-identical across backends for the cross path."""
+    from imagharmony_tpu import dtypes
+
+    heads, d = 4, 64
+    hd = heads * d
+    p = attn_lib.attention_init(
+        jax.random.PRNGKey(0), hd, heads=heads, context_dim=48, with_ip=True
+    )
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (2, 512, hd))
+    ctx = jax.random.normal(ks[1], (2, 77, 48))
+    ip = jax.random.normal(ks[2], (2, 4, 48))
+    for ip_ctx in (None, ip):
+        a = attn_lib.attention(
+            p, x, heads=heads, context=ctx, ip_context=ip_ctx, ip_scale=0.6,
+            backend="xla", policy=dtypes.FP32,
+        )
+        b = attn_lib.attention(
+            p, x, heads=heads, context=ctx, ip_context=ip_ctx, ip_scale=0.6,
+            backend="pallas", policy=dtypes.FP32,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
