@@ -279,6 +279,39 @@ def test_cross_nhd_gradient_parity(interpret_mode):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
+def test_no_max_softmax_saturates_without_nan(interpret_mode):
+    """The no-max kernel clamps exp2 args at _EXP2_ARG_MAX: logits above
+    the clamp (pathological trained-model rows) must saturate to a uniform
+    mix over the clamped entries — finite output, never inf/nan."""
+    q, k, v = _qkv(sq=256, sk=512)
+    big = 600.0  # logits*scale*log2e far above the clamp
+    out = fa.flash_attention(q * big, k, v, scale=64**-0.5)
+    assert out is not None
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # packed layout too
+    b, h, sq, d = q.shape
+    pk = (q * big).transpose(0, 2, 1, 3).reshape(b, sq, h * d)
+    kk = k.transpose(0, 2, 1, 3).reshape(b, 512, h * d)
+    vv = v.transpose(0, 2, 1, 3).reshape(b, 512, h * d)
+    out2 = fa.flash_attention_nhd(pk, kk, vv, scale=64**-0.5, head_dim=64)
+    assert out2 is not None
+    assert np.isfinite(np.asarray(out2, np.float32)).all()
+
+
+def test_nhd_mxu_sum_long_k(interpret_mode):
+    """Sk >= 2048 switches the denominator onto the MXU ones-column path;
+    parity must hold through the switch."""
+    b, h, d = 1, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, 512, h * d))
+    k = jax.random.normal(ks[1], (b, 2048, h * d))
+    v = jax.random.normal(ks[2], (b, 2048, h * d))
+    out = fa.flash_attention_nhd(q, k, v, scale=d**-0.5, head_dim=d)
+    assert out is not None
+    ref = _packed_ref(q, k, v, h, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
 def test_cross_nhd_dispatch_rules(interpret_mode):
     # long K belongs to the self-attention kernels
     q, k, v, _, _ = _cross_inputs(skt=512)
