@@ -136,6 +136,33 @@ def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, dtype=jnp.float32
     return params
 
 
+# 3x3 SAME stride-1 conv shapes where decomposing into 9 shifted 1x1
+# matmuls beats XLA's native conv on v5e (probed on-chip, scan-chained:
+# tools/probe_conv_tuning.py — (64², 640→640) −11%, (128², 320→320) −4%;
+# the decomposition LOSES on channel-changing/concat shapes, so dispatch is
+# an explicit allowlist keyed by (spatial, c_in, c_out), bf16 only).
+_SHIFTED9_SHAPES = {
+    (64, 640, 640),
+    (128, 320, 320),
+}
+
+
+def _conv2d_shifted9(x, w):
+    """3x3 SAME conv as 9 shifted pointwise matmuls (exact same math;
+    accumulation order differs within bf16 rounding)."""
+    b, h, wd, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for i in range(3):
+        for j in range(3):
+            part = jnp.einsum(
+                "bhwc,co->bhwo", xp[:, i:i + h, j:j + wd, :], w[i, j],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    return acc.astype(x.dtype)
+
+
 def conv2d(params, x, *, stride=1, padding=1, policy: dtypes.Policy = dtypes.DEFAULT):
     """2D convolution, NHWC input, HWIO kernel."""
     if isinstance(stride, int):
@@ -143,13 +170,25 @@ def conv2d(params, x, *, stride=1, padding=1, policy: dtypes.Policy = dtypes.DEF
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     w = policy.cast(params["weight"])
-    y = jax.lax.conv_general_dilated(
-        policy.cast(x),
-        w,
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    xc = policy.cast(x)
+    kh, kw, cin, cout = w.shape
+    if (
+        (kh, kw) == (3, 3)
+        and stride == (1, 1)
+        and padding == ((1, 1), (1, 1))
+        and xc.dtype == jnp.bfloat16
+        and xc.shape[1] == xc.shape[2]
+        and (xc.shape[1], cin, cout) in _SHIFTED9_SHAPES
+    ):
+        y = _conv2d_shifted9(xc, w)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xc,
+            w,
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "bias" in params:
         y = y + policy.cast(params["bias"])
     return y

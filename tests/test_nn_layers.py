@@ -167,3 +167,31 @@ def test_pack_inference_params_equivalence():
     b2 = attn_lib.attention(packed["a"]["attn2"], x, heads=4, context=ctx,
                             ip_context=ipc, ip_scale=0.5, policy=dtypes.FP32)
     np.testing.assert_allclose(_np(a2), _np(b2), rtol=1e-5, atol=1e-6)
+
+
+def test_conv2d_shifted9_matches_native():
+    """The probed shifted-9 dispatch (layers._SHIFTED9_SHAPES) is the same
+    math as the native conv — bf16 accumulation-order noise only — and
+    triggers exactly on the allowlisted (spatial, cin, cout) shapes."""
+    bf16 = dtypes.Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    spatial, cin, cout = sorted(layers._SHIFTED9_SHAPES)[0]
+    p = layers.conv2d_init(jax.random.PRNGKey(0), cin, cout, 3, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, spatial, spatial, cin), jnp.bfloat16)
+    fast = layers.conv2d(p, x, policy=bf16)
+    native = jax.lax.conv_general_dilated(
+        x, p["weight"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["bias"]
+    a = np.asarray(fast, np.float32)
+    b = np.asarray(native, np.float32)
+    scale = np.abs(b).max()
+    assert np.abs(a - b).max() < 0.03 * scale  # bf16 summation-order noise
+    # non-listed shape takes the native path bit-exactly
+    p2 = layers.conv2d_init(jax.random.PRNGKey(2), 8, 8, 3, dtype=jnp.bfloat16)
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 8), jnp.bfloat16)
+    y2 = layers.conv2d(p2, x2, policy=bf16)
+    n2 = jax.lax.conv_general_dilated(
+        x2, p2["weight"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p2["bias"]
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(n2))
