@@ -142,6 +142,7 @@ def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, dtype=jnp.float32
 # the decomposition LOSES on channel-changing/concat shapes, so dispatch is
 # an explicit allowlist keyed by (spatial, c_in, c_out), bf16 only).
 _SHIFTED9_SHAPES = {
+    (32, 1280, 1280),
     (64, 640, 640),
     (128, 320, 320),
 }
