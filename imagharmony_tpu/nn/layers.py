@@ -144,6 +144,7 @@ def conv2d_init(key, in_ch, out_ch, kernel_size, *, bias=True, dtype=jnp.float32
 _SHIFTED9_SHAPES = {
     (32, 1280, 1280),
     (64, 640, 640),
+    (64, 1280, 1280),   # up-block upsampler conv
     (128, 320, 320),
 }
 
