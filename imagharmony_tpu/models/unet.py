@@ -174,9 +174,8 @@ def downsample(params, x, *, policy=dtypes.DEFAULT):
 
 
 def upsample(params, x, *, policy=dtypes.DEFAULT):
-    b, h, w, c = x.shape
-    x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-    return layers.conv2d(params["conv"], x, padding=1, policy=policy)
+    # nearest-2x + 3x3 conv, fused on bf16 (layers.upsample2x_conv)
+    return layers.upsample2x_conv(params["conv"], x, policy=policy)
 
 
 # ---------------------------------------------------------------------------

@@ -224,9 +224,10 @@ def decode(params, cfg: VAEConfig, latents, *, policy=dtypes.FP32, scaled=True):
         for res in block["resnets"]:
             h = _res_apply(res, h, groups=g, policy=policy)
         if block["upsamplers"]:
-            b, hh, ww, c = h.shape
-            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-            h = layers.conv2d(block["upsamplers"][0]["conv"], h, policy=policy)
+            # nearest-2x + 3x3 conv, fused on bf16 (layers.upsample2x_conv)
+            h = layers.upsample2x_conv(
+                block["upsamplers"][0]["conv"], h, policy=policy
+            )
     h = layers.group_norm(dec["conv_norm_out"], h, num_groups=g, eps=1e-6, policy=policy)
     return layers.conv2d(dec["conv_out"], jax.nn.silu(h), policy=policy)
 

@@ -196,6 +196,63 @@ def conv2d(params, x, *, stride=1, padding=1, policy: dtypes.Policy = dtypes.DEF
     return y
 
 
+def _upsample2x_conv_subpixel(x, w):
+    """nearest-2x upsample + 3x3 SAME conv, fused as four 2x2-tap subpixel
+    convs on the ORIGINAL grid (exact same math; bf16 accumulation order
+    differs). For output row p = 2i+a, the three upsampled rows collapse
+    onto original rows {i-1: w0, i: w1+w2} (a=0) / {i: w0+w1, i+1: w2}
+    (a=1), same for columns — 16 HxW pointwise einsums vs 9 at (2H)x(2W),
+    i.e. 4/9 of the MXU work plus no materialized upsampled tensor.
+    Probed on v5e (tools/probe_upsample_conv.py): 3.11 -> 1.60 ms at
+    32²·1280, 2.79 -> 1.86 ms at 64²·640."""
+    b, h, wd, _ = x.shape
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    row_taps = {
+        0: [(-1, w[0]), (0, w[1] + w[2])],
+        1: [(0, w[0] + w[1]), (1, w[2])],
+    }
+    subs = []
+    for a in (0, 1):
+        for c in (0, 1):
+            acc = None
+            for dr, wr in row_taps[a]:
+                col_taps = {
+                    0: [(-1, wr[0]), (0, wr[1] + wr[2])],
+                    1: [(0, wr[0] + wr[1]), (1, wr[2])],
+                }[c]
+                for dc, wc in col_taps:
+                    part = jnp.einsum(
+                        "bhwc,co->bhwo",
+                        xp[:, 1 + dr:1 + dr + h, 1 + dc:1 + dc + wd, :],
+                        wc, preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+            subs.append(acc)
+    out = jnp.stack(subs).reshape(2, 2, b, h, wd, cout)
+    out = out.transpose(2, 3, 0, 4, 1, 5).reshape(b, 2 * h, 2 * wd, cout)
+    return out.astype(x.dtype)
+
+
+def upsample2x_conv(params, x, *, policy: dtypes.Policy = dtypes.DEFAULT):
+    """nearest-2x upsample followed by a 3x3 SAME conv (the diffusers
+    Upsample2D role, reference UNet up path). On bf16 with a 3x3
+    channel-preserving kernel this dispatches to the fused subpixel form
+    (probe-won on both SDXL upsampler shapes); otherwise it falls back to
+    the literal resize + conv2d."""
+    w = policy.cast(params["weight"])
+    xc = policy.cast(x)
+    kh, kw, cin, cout = w.shape
+    if (kh, kw) == (3, 3) and cin == cout and xc.dtype == jnp.bfloat16:
+        y = _upsample2x_conv_subpixel(xc, w)
+        if "bias" in params:
+            y = y + policy.cast(params["bias"])
+        return y
+    b, h, wd, c = xc.shape
+    xu = jax.image.resize(xc, (b, h * 2, wd * 2, c), method="nearest")
+    return conv2d(params, xu, policy=policy)
+
+
 # ---------------------------------------------------------------------------
 # Embedding
 # ---------------------------------------------------------------------------

@@ -195,3 +195,38 @@ def test_conv2d_shifted9_matches_native():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + p2["bias"]
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(n2))
+
+
+def test_upsample2x_conv_matches_literal():
+    """The fused subpixel upsample-conv (layers.upsample2x_conv) equals the
+    literal nearest-2x resize + 3x3 SAME conv — bf16 accumulation-order
+    noise only on the fused path; fp32 takes the fallback bit-exactly."""
+
+    def literal(p, x, policy):
+        b, h, w, c = x.shape
+        xu = jax.image.resize(
+            policy.cast(x), (b, h * 2, w * 2, c), method="nearest"
+        )
+        return layers.conv2d(p, xu, policy=policy)
+
+    bf16 = dtypes.Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    p = layers.conv2d_init(jax.random.PRNGKey(0), 32, 32, 3, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32), jnp.bfloat16)
+    fused = np.asarray(layers.upsample2x_conv(p, x, policy=bf16), np.float32)
+    ref = np.asarray(literal(p, x, bf16), np.float32)
+    assert fused.shape == (2, 16, 16, 32)
+    assert np.abs(fused - ref).max() < 0.03 * np.abs(ref).max()
+    # fp32 (non-bf16) input takes the literal path bit-exactly
+    p32 = layers.conv2d_init(jax.random.PRNGKey(2), 8, 8, 3)
+    x32 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 8), jnp.float32)
+    y32 = layers.upsample2x_conv(p32, x32, policy=dtypes.FP32)
+    np.testing.assert_array_equal(
+        np.asarray(y32), np.asarray(literal(p32, x32, dtypes.FP32))
+    )
+    # channel-changing conv also falls back (exact vs literal)
+    pcc = layers.conv2d_init(jax.random.PRNGKey(4), 8, 16, 3, dtype=jnp.bfloat16)
+    ycc = layers.upsample2x_conv(pcc, x32.astype(jnp.bfloat16), policy=bf16)
+    np.testing.assert_array_equal(
+        np.asarray(ycc),
+        np.asarray(literal(pcc, x32.astype(jnp.bfloat16), bf16)),
+    )
