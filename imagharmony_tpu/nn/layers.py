@@ -146,6 +146,8 @@ _SHIFTED9_SHAPES = {
     (64, 640, 640),
     (64, 1280, 1280),   # up-block upsampler conv
     (128, 320, 320),
+    (128, 512, 512),    # VAE decoder mid/up0 resnets (probe −15%; larger
+                        # VAE spatials LOSE — see PERF.md levers table)
 }
 
 
