@@ -145,6 +145,11 @@ def bench_e2e(size, on_tpu, platform):
 
 
 def main():
+    # honor JAX_PLATFORMS before touching devices: the axon sitecustomize
+    # re-pins jax_platforms at interpreter start, so a requested CPU bench
+    # would otherwise initialize the TPU tunnel (and hang if it is down)
+    from imagharmony_tpu.cli import _honor_platform_env
+    _honor_platform_env()
     import jax
     import jax.numpy as jnp
 
