@@ -39,6 +39,18 @@ class TrainConfig:
     train_image_proj: bool = False  # reference excludes it (train.py:600)
     max_grad_norm: Optional[float] = None
     gradient_checkpoint: bool = True
+    # -- beyond the reference (its loop is constant-lr, no accum, no EMA:
+    #    train.py:600-601, 620-710) --
+    # microbatches per optimizer step: grads accumulate in a lax.scan so
+    # activation memory stays that of ONE microbatch while the effective
+    # batch is grad_accum x the microbatch
+    grad_accum: int = 1
+    # exponential moving average of the trainable subtree (standard for
+    # diffusion fine-tunes); None disables
+    ema_decay: Optional[float] = None
+    lr_warmup_steps: int = 0
+    lr_schedule: str = "constant"  # constant | cosine
+    lr_total_steps: int = 0  # cosine horizon (e.g. max_steps)
     # UNet config used to mask AdamW weight decay off the *inert* IP
     # projections (skip layers never run their decoupled branch, so their
     # grads are exactly zero; torch AdamW skips None-grad params — without
@@ -69,13 +81,34 @@ def decay_mask(trainable, unet_cfg):
     return tree_util.map_leaves_with_path(trainable, leaf)
 
 
+def learning_rate(cfg: TrainConfig):
+    """Scalar lr, or an optax schedule when warmup/cosine is configured."""
+    if cfg.lr_schedule == "cosine":
+        total = max(cfg.lr_total_steps, cfg.lr_warmup_steps + 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=cfg.lr_warmup_steps, decay_steps=total,
+        )
+    if cfg.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.lr_warmup_steps:
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps),
+                optax.constant_schedule(cfg.learning_rate),
+            ],
+            [cfg.lr_warmup_steps],
+        )
+    return cfg.learning_rate
+
+
 def make_optimizer(cfg: TrainConfig):
     mask = (
         None
         if cfg.unet_cfg is None
         else (lambda params: decay_mask(params, cfg.unet_cfg))
     )
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay, mask=mask)
+    tx = optax.adamw(learning_rate(cfg), weight_decay=cfg.weight_decay, mask=mask)
     if cfg.max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx
@@ -85,7 +118,10 @@ def init_state(params, cfg: TrainConfig):
     """Split params into (trainable, frozen) and build optimizer state."""
     trainable, frozen = tree_util.split_by_path(params, cfg.predicate())
     opt_state = make_optimizer(cfg).init(trainable)
-    return {"trainable": trainable, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}, frozen
+    state = {"trainable": trainable, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+    if cfg.ema_decay:
+        state["ema"] = jax.tree.map(jnp.asarray, trainable)
+    return state, frozen
 
 
 def loss_fn(
@@ -204,20 +240,56 @@ def make_train_step(cfgs: comp.ComponentConfigs, tcfg: TrainConfig, *,
 
     def train_step(state, frozen, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn)
-        loss, grads = grad_fn(
-            state["trainable"], frozen, cfgs, tcfg, batch, rng,
-            policy=policy, backend=backend,
-        )
+        a = tcfg.grad_accum
+        if a > 1:
+            # scan over microbatches: activations (the memory cost — the
+            # frozen UNet fwd+bwd) exist for ONE microbatch at a time;
+            # only the small adapter-grad accumulator persists across the
+            # scan. Rows stay sharded over `data` within each microbatch.
+            micro = jax.tree.map(
+                lambda x: jnp.reshape(x, (a, x.shape[0] // a) + x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, a)
+
+            def body(carry, xs):
+                loss_sum, gsum = carry
+                mb, r = xs
+                loss, g = grad_fn(
+                    state["trainable"], frozen, cfgs, tcfg, mb, r,
+                    policy=policy, backend=backend,
+                )
+                return (loss_sum + loss, jax.tree.map(jnp.add, gsum, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state["trainable"])
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zeros), (micro, rngs)
+            )
+            loss = loss / a
+            grads = jax.tree.map(lambda x: x / a, grads)
+        else:
+            loss, grads = grad_fn(
+                state["trainable"], frozen, cfgs, tcfg, batch, rng,
+                policy=policy, backend=backend,
+            )
         updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
         trainable = optax.apply_updates(state["trainable"], updates)
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
-        return (
-            {"trainable": trainable, "opt_state": opt_state, "step": state["step"] + 1},
-            metrics,
-        )
+        new_state = {
+            "trainable": trainable,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        if tcfg.ema_decay:
+            d = tcfg.ema_decay
+            new_state["ema"] = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state["ema"], trainable,
+            )
+        return new_state, metrics
 
     return train_step
 

@@ -46,6 +46,19 @@ def parse_args(argv=None):
     p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--noise_offset", type=float, default=None)
+    # beyond the reference's constant-lr / no-accum / no-EMA loop
+    # (reference train.py:600-601, 620-710)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (lax.scan inside "
+                        "the jitted step: activation memory stays one "
+                        "microbatch; effective batch = batch_size x accum)")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="EMA of the trainable adapters (e.g. 0.9999); "
+                        "also exports ip_adapter-ema-N.bin")
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine decays to 0 over --max_steps")
     p.add_argument("--save_steps", type=int, default=2000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -72,6 +85,16 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=10,
                    help="fetch metrics from device every N steps (per-step "
                         "float() would block ~25 ms tunnel RTT each step)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params + AdamW moments + frozen "
+                        "towers over the data axis (parallel/fsdp.py) "
+                        "instead of replicating — per-chip memory drops "
+                        "~linearly with the mesh; GSPMD inserts the "
+                        "gathers/reduce-scatters over ICI")
+    p.add_argument("--fsdp_min_shard", type=int, default=None,
+                   help="smallest leaf (elements) FSDP shards; below it "
+                        "leaves replicate (default parallel/fsdp.py "
+                        "MIN_SHARD_ELEMS)")
     return p.parse_args(argv)
 
 
@@ -157,7 +180,14 @@ def main(argv=None):
         noise_offset=args.noise_offset,
         train_image_proj=args.train_image_proj,
         unet_cfg=cfgs.unet,  # masks weight decay off inert IP projections
+        grad_accum=args.grad_accum,
+        ema_decay=args.ema_decay,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_schedule=args.lr_scheduler,
+        lr_total_steps=args.max_steps or 0,
     )
+    if args.lr_scheduler == "cosine" and not args.max_steps:
+        raise SystemExit("--lr_scheduler cosine needs --max_steps (the decay horizon)")
     policy = dtypes.FP32 if args.mixed_precision == "no" else dtypes.DEFAULT
     backend = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else None
     state, frozen = step_lib.init_state(params, tcfg)
@@ -184,6 +214,10 @@ def main(argv=None):
     metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
     metrics_log = open(metrics_path, "a")
 
+    # each step consumes grad_accum microbatches of train_batch_size rows
+    # (the jitted step scans over them; the mesh stays fit to the microbatch)
+    step_rows = args.train_batch_size * max(args.grad_accum, 1)
+
     # -- data ------------------------------------------------------------
     if args.cache_encoders and not args.synthetic_data:
         from imagharmony_tpu.train import cache as cache_lib
@@ -202,14 +236,14 @@ def main(argv=None):
         for tower in ("vae", "text_encoder", "text_encoder_2", "image_encoder"):
             frozen[tower] = None
         batches = cache_lib.batches_from_cache(
-            enc_cache, args.train_batch_size, seed=args.seed,
+            enc_cache, step_rows, seed=args.seed,
             epochs=args.num_train_epochs,
         )
     elif args.synthetic_data:
         def batch_iter():
             for i in range(args.synthetic_data):
                 yield step_lib.dummy_batch(
-                    cfgs, batch_size=args.train_batch_size,
+                    cfgs, batch_size=step_rows,
                     resolution=args.resolution, rng=i,
                 )
         batches = batch_iter()
@@ -222,18 +256,41 @@ def main(argv=None):
             image_root_path=args.data_root_path,
             max_token_length=cfgs.text_l.max_position_embeddings,
         )
-        batches = ds.batches(args.train_batch_size, seed=args.seed,
+        batches = ds.batches(step_rows, seed=args.seed,
                              epochs=args.num_train_epochs)
 
     # -- mesh + jit -------------------------------------------------------
     mesh = mesh_lib.fit_data_mesh(args.train_batch_size)
-    step_fn = jax.jit(
-        step_lib.make_train_step(cfgs, tcfg, policy=policy, backend=backend),
-        donate_argnums=(0,),  # reuse the state buffers (opt states are ~2 GB at SDXL scale)
-    )
+    raw_step = step_lib.make_train_step(cfgs, tcfg, policy=policy, backend=backend)
+    if args.fsdp:
+        # ZeRO-3: explicit out_shardings keep the updated state in the same
+        # sharded layout (donation then reuses the sharded buffers in place).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from imagharmony_tpu.parallel import fsdp as fsdp_lib
+
+        fsdp_kw = (
+            {} if args.fsdp_min_shard is None
+            else {"min_elems": args.fsdp_min_shard}
+        )
+        state_sh = fsdp_lib.tree_shardings(mesh, state, **fsdp_kw)
+        rep = NamedSharding(mesh, PartitionSpec())
+        step_fn = jax.jit(
+            raw_step, donate_argnums=(0,),
+            out_shardings=(state_sh, {"loss": rep, "grad_norm": rep}),
+        )
+    else:
+        step_fn = jax.jit(
+            raw_step,
+            donate_argnums=(0,),  # reuse the state buffers (opt states are ~2 GB at SDXL scale)
+        )
     with mesh:
-        state = mesh_lib.replicate(mesh, state)
-        frozen_r = mesh_lib.replicate(mesh, frozen)
+        if args.fsdp:
+            state = fsdp_lib.shard_tree(mesh, state, **fsdp_kw)
+            frozen_r = fsdp_lib.shard_tree(mesh, frozen, **fsdp_kw)
+        else:
+            state = mesh_lib.replicate(mesh, state)
+            frozen_r = mesh_lib.replicate(mesh, frozen)
 
         rng = jax.random.PRNGKey(args.seed)
         global_step = start_step
@@ -301,19 +358,23 @@ def main(argv=None):
 
 
 def _export_adapter(args, cfgs, state, frozen, step):
-    merged = tree_util.merge(
-        jax.tree.map(np.asarray, state["trainable"]), frozen
-    )
-    path = os.path.join(args.output_dir, f"ip_adapter-{step}.bin")
-    ckpt_io.save_adapter_checkpoint(
-        path,
-        unet_params=merged["unet"],
-        unet_cfg=cfgs.unet,
-        image_proj_params=merged["image_proj"],
-        harmony_params=merged["harmony"],
-        harmony_cfg=cfgs.harmony,
-    )
-    print("exported", path)
+    def export(trainable, path):
+        merged = tree_util.merge(jax.tree.map(np.asarray, trainable), frozen)
+        ckpt_io.save_adapter_checkpoint(
+            path,
+            unet_params=merged["unet"],
+            unet_cfg=cfgs.unet,
+            image_proj_params=merged["image_proj"],
+            harmony_params=merged["harmony"],
+            harmony_cfg=cfgs.harmony,
+        )
+        print("exported", path)
+
+    export(state["trainable"],
+           os.path.join(args.output_dir, f"ip_adapter-{step}.bin"))
+    if "ema" in state:
+        export(state["ema"],
+               os.path.join(args.output_dir, f"ip_adapter-ema-{step}.bin"))
 
 
 if __name__ == "__main__":

@@ -1,12 +1,17 @@
-"""Parallel layer: mesh helpers, TP shardings, distributed utils."""
+"""Parallel layer: mesh helpers, TP/FSDP shardings, distributed utils."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from imagharmony_tpu.models import unet
-from imagharmony_tpu.parallel import distributed, mesh as mesh_lib, tp_rules
+from imagharmony_tpu.parallel import (
+    distributed,
+    fsdp,
+    mesh as mesh_lib,
+    tp_rules,
+)
 
 
 def test_make_mesh_axes():
@@ -64,6 +69,78 @@ def test_distributed_single_host_noop():
     assert distributed.initialize() is False
     assert distributed.is_main_process()
     assert distributed.local_batch_slice(8) == slice(0, 8)
+
+
+def test_fsdp_spec_rules():
+    """Shape-based ZeRO-3 spec: largest divisible free dim takes the data
+    axis; composes with TP base specs; small/indivisible leaves replicate."""
+    n = 4
+    assert fsdp.fsdp_spec(np.zeros((128, 64)), n, min_elems=1) == P("data", None)
+    assert fsdp.fsdp_spec(np.zeros((64, 128)), n, min_elems=1) == P(None, "data")
+    # composes with a TP column spec: data goes to the largest FREE dim
+    assert fsdp.fsdp_spec(
+        np.zeros((128, 64)), n, base=P(None, "model"), min_elems=1
+    ) == P("data", "model")
+    # conv HWIO: channels get the axis, not the 3x3 taps
+    assert fsdp.fsdp_spec(np.zeros((3, 3, 16, 64)), n, min_elems=1) == P(
+        None, None, None, "data"
+    )
+    # indivisible and sub-threshold leaves stay at base
+    assert fsdp.fsdp_spec(np.zeros((7, 9)), n, min_elems=1) == P()
+    assert fsdp.fsdp_spec(np.zeros((32,)), n) == P()  # default MIN_SHARD_ELEMS
+    assert fsdp.fsdp_spec(np.zeros(()), n, min_elems=0) == P()
+    assert fsdp.fsdp_spec(np.zeros((128,)), 1, min_elems=1) == P()
+
+
+def test_fsdp_step_matches_replicated():
+    """ZeRO-3 train step (params + AdamW moments + frozen towers sharded
+    over the data axis) must produce the same numbers as the replicated-DP
+    step — GSPMD inserts the gathers/reduce-scatters. Also asserts the
+    state is ACTUALLY sharded (the memory win is the point)."""
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.pipelines import components as comp
+    from imagharmony_tpu.train import step as train_step_lib
+
+    cfgs = comp.tiny_configs()
+    params = comp.init_params(jax.random.PRNGKey(0), cfgs)
+    tcfg = train_step_lib.TrainConfig(learning_rate=1e-3, gradient_checkpoint=False)
+    state, frozen = train_step_lib.init_state(params, tcfg)
+    batch = train_step_lib.dummy_batch(cfgs, batch_size=8)
+    rng = jax.random.PRNGKey(1)
+    step_fn = train_step_lib.make_train_step(cfgs, tcfg, policy=dtypes.FP32)
+
+    s1, m1 = jax.jit(step_fn)(state, frozen, batch, rng)
+
+    m = mesh_lib.make_mesh()  # 8-way data axis
+    min_elems = 64  # tiny-config dims; production default is 2**13
+    with m:
+        state_sh = fsdp.tree_shardings(m, state, min_elems=min_elems)
+        rep = NamedSharding(m, P())
+        state_f = fsdp.shard_tree(m, state, min_elems=min_elems)
+        frozen_f = fsdp.shard_tree(m, frozen, min_elems=min_elems)
+        batch_s = mesh_lib.shard_batch(m, batch)
+        fsdp_step = jax.jit(
+            step_fn, out_shardings=(state_sh, {"loss": rep, "grad_norm": rep})
+        )
+        s8, m8 = fsdp_step(state_f, frozen_f, batch_s, rng)
+
+    def n_sharded(tree):
+        return sum(
+            1
+            for x in jax.tree.leaves(tree)
+            if x is not None and x.sharding.spec != P() and tuple(x.sharding.spec) != ()
+        )
+
+    assert n_sharded(frozen_f) > 20, "frozen towers not sharded"
+    assert n_sharded(s8["trainable"]) > 5, "updated trainable not sharded"
+    assert n_sharded(s8["opt_state"]) > 5, "AdamW moments not sharded"
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1["trainable"]), jax.tree.leaves(s8["trainable"])):
+        if a is not None:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
 
 
 def _sdpa_ref(q, k, v, scale):

@@ -118,6 +118,109 @@ def test_inert_ip_weights_not_decayed():
     assert np.abs(active_before - active_after).max() > 0
 
 
+def test_grad_accum_matches_manual_average():
+    """grad_accum=2 must equal: split the batch into contiguous
+    microbatches, average per-micro grads (with the same split rngs), one
+    optimizer update — exact, not approximate."""
+    import optax
+
+    cfgs = comp.tiny_configs()
+    params = comp.init_params(jax.random.PRNGKey(0), cfgs)
+    tcfg = train_step_lib.TrainConfig(
+        learning_rate=1e-3, gradient_checkpoint=False, grad_accum=2
+    )
+    state, frozen = train_step_lib.init_state(params, tcfg)
+    batch = train_step_lib.dummy_batch(cfgs, batch_size=4)
+    rng = jax.random.PRNGKey(5)
+
+    s_acc, m_acc = jax.jit(
+        train_step_lib.make_train_step(cfgs, tcfg, policy=FP32)
+    )(state, frozen, batch, rng)
+
+    # manual: same microbatch slicing + rng split as the scan
+    rngs = jax.random.split(rng, 2)
+    grad_fn = jax.jit(
+        lambda t, mb, r: jax.value_and_grad(train_step_lib.loss_fn)(
+            t, frozen, cfgs, tcfg, mb, r, policy=FP32
+        )
+    )
+    micro = [
+        {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()} for i in range(2)
+    ]
+    l0, g0 = grad_fn(state["trainable"], micro[0], rngs[0])
+    l1, g1 = grad_fn(state["trainable"], micro[1], rngs[1])
+    grads = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+    tx = train_step_lib.make_optimizer(tcfg)
+    updates, _ = tx.update(grads, state["opt_state"], state["trainable"])
+    manual = optax.apply_updates(state["trainable"], updates)
+
+    # loss and grad norm match tightly (catches drop-a-micro / wrong-mean
+    # bugs: either would move the norm by O(1))
+    np.testing.assert_allclose(
+        float(m_acc["loss"]), (float(l0) + float(l1)) / 2, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_acc["grad_norm"]), float(optax.global_norm(grads)), rtol=1e-5
+    )
+    # params: Adam's step-1 update is ±lr*sign(g) elementwise, so fp32
+    # fusion-order noise on near-zero grads legitimately moves single
+    # weights by up to 2*lr; a real accumulation bug moves them wholesale
+    for a, b in zip(jax.tree.leaves(s_acc["trainable"]), jax.tree.leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
+
+
+def test_ema_tracks_trainable():
+    """state['ema'] follows e*d + p*(1-d) on the UPDATED params each step."""
+    cfgs = comp.tiny_configs()
+    params = comp.init_params(jax.random.PRNGKey(0), cfgs)
+    tcfg = train_step_lib.TrainConfig(
+        learning_rate=1e-2, gradient_checkpoint=False, ema_decay=0.5
+    )
+    state, frozen = train_step_lib.init_state(params, tcfg)
+    assert "ema" in state
+    step_fn = jax.jit(train_step_lib.make_train_step(cfgs, tcfg, policy=FP32))
+    batch = train_step_lib.dummy_batch(cfgs)
+
+    expect = jax.tree.map(np.asarray, state["ema"])
+    rng = jax.random.PRNGKey(9)
+    for i in range(2):
+        rng, sub = jax.random.split(rng)
+        state, _ = step_fn(state, frozen, batch, sub)
+        expect = jax.tree.map(
+            lambda e, p: e * 0.5 + np.asarray(p) * 0.5,
+            expect, state["trainable"],
+        )
+    for a, b in zip(jax.tree.leaves(state["ema"]), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6, atol=1e-7)
+
+
+def test_lr_schedules():
+    """Warmup ramps 0 → peak; cosine decays peak → ~0 at the horizon."""
+    warm = train_step_lib.learning_rate(
+        train_step_lib.TrainConfig(learning_rate=1e-3, lr_warmup_steps=10)
+    )
+    assert float(warm(0)) == 0.0
+    np.testing.assert_allclose(float(warm(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(1000)), 1e-3, rtol=1e-6)
+
+    cos = train_step_lib.learning_rate(
+        train_step_lib.TrainConfig(
+            learning_rate=1e-3, lr_schedule="cosine",
+            lr_warmup_steps=10, lr_total_steps=100,
+        )
+    )
+    assert float(cos(0)) == 0.0
+    np.testing.assert_allclose(float(cos(10)), 1e-3, rtol=1e-6)
+    assert float(cos(55)) < 1e-3
+    assert float(cos(100)) < 1e-5
+
+    # scalar when nothing is configured
+    assert train_step_lib.learning_rate(
+        train_step_lib.TrainConfig(learning_rate=1e-3)
+    ) == 1e-3
+
+
 def test_dp_sharded_step_matches_single_device():
     """DP over the virtual 8-device mesh must agree with single-device
     (the grad all-reduce is exact for MSE mean loss)."""

@@ -43,6 +43,45 @@ def test_trainer_smoke_and_resume(tmp_path):
     assert any(k.startswith("fc1") for k in composed)
 
 
+def test_trainer_fsdp_matches_replicated(tmp_path):
+    """`--fsdp` (ZeRO-3 storage sharding) end-to-end through the trainer:
+    flag plumbing, sharded out_shardings + donation, export. min_shard
+    forced down so tiny-config leaves actually shard on the 2-way data
+    axis. Tolerance note: strict one-step fp32 equality is asserted in
+    test_parallel.py::test_fsdp_step_matches_replicated; across full
+    trainer steps Adam's step-1 update is g/|g| (a sign function), so the
+    reduce-scatter's different summation order can flip near-zero grads
+    and move single weights by ±lr per step — the bound here is a few
+    lr×steps, far below the ~1e-1 weight scale a real sharding bug (bad
+    gather/missing reduce) would produce."""
+    common = [
+        "--tiny",
+        "--synthetic_data", "4",
+        "--train_batch_size", "2",
+        "--resolution", "32",
+        "--save_steps", "2",
+        "--max_steps", "2",
+        "--learning_rate", "1e-3",
+        # fp32: under bf16 the reduce-scatter vs all-reduce summation-order
+        # change is visible at any tolerance worth asserting
+        "--mixed_precision", "no",
+    ]
+    out_a = str(tmp_path / "dp")
+    out_b = str(tmp_path / "fsdp")
+    trainer.main(common + ["--output_dir", out_a])
+    trainer.main(common + ["--output_dir", out_b, "--fsdp",
+                           "--fsdp_min_shard", "64"])
+
+    proj_a, ip_a, comp_a, _ = ckpt_io.load_adapter_checkpoint(
+        os.path.join(out_a, "ip_adapter-2.bin"))
+    proj_b, ip_b, comp_b, _ = ckpt_io.load_adapter_checkpoint(
+        os.path.join(out_b, "ip_adapter-2.bin"))
+    for a, b in ((proj_a, proj_b), (ip_a, ip_b), (comp_a, comp_b)):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=6e-3, err_msg=k)
+
+
 def test_dataset_pipeline(tmp_path):
     """HarmonyDataset on synthetic images + JSON records."""
     from PIL import Image
