@@ -553,18 +553,29 @@ class HarmonyPipeline:
         toks = tok_lib.SDXLTokenizers(toy, toy)
         return cls(params, cfgs, toks)
 
-    def with_mesh(self, mesh):
+    def with_mesh(self, mesh, *, tensor_parallel=False):
         """Data-parallel clone over a device mesh: params replicated, the
         request batch (noise rows) sharded over the ``data`` axis, so the
         K-seed PNS fan-out and packed serving batches ride ICI as pure DP —
         the reference's only parallelism strategy (accelerate DDP, reference
         train.py:492-496) applied to inference (SURVEY.md §2).
+
+        ``tensor_parallel=True`` additionally shards the attention/FFN
+        projections over the ``model`` axis (parallel/tp_rules.py) — GSPMD
+        splits every matmul across chips and all-reduces the row-parallel
+        outputs over ICI, cutting SINGLE-image latency instead of only
+        throughput (beyond the reference, which has no TP).
         """
         from imagharmony_tpu.parallel import mesh as mesh_lib
+        from imagharmony_tpu.parallel import tp_rules
 
         clone = object.__new__(HarmonyPipeline)
         clone.__dict__.update(self.__dict__)
-        clone.params = mesh_lib.replicate(mesh, self.params)
+        clone.params = (
+            tp_rules.shard_params_tp(mesh, self.params)
+            if tensor_parallel
+            else mesh_lib.replicate(mesh, self.params)
+        )
         clone._mesh = mesh
         return clone
 

@@ -43,6 +43,27 @@ def test_batch_matches_individual(pipe, imgs):
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 8
 
 
+def test_with_mesh_tensor_parallel_matches_single_device(pipe, imgs):
+    """with_mesh(tensor_parallel=True): attention/FFN weights sharded over
+    the `model` axis (latency scaling, beyond the reference's DP-only
+    story) must produce the single-device images — GSPMD inserts the
+    all-reduces on the row-parallel projections."""
+    from imagharmony_tpu.parallel import mesh as mesh_lib
+    from imagharmony_tpu.utils.parity import cosine
+
+    kw = dict(pil_image=imgs[0], prompt="a dog", extra_text="six dogs",
+              num_samples=2, num_inference_steps=2, height=32, width=32,
+              seed=3)
+    base = pipe.generate(**kw)
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    tp = pipe.with_mesh(mesh, tensor_parallel=True).generate(**kw)
+    assert tp.shape == base.shape
+    for got, want in zip(tp, base):
+        c = cosine(got.astype(np.float32), want.astype(np.float32))
+        assert c > 0.999, c
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 8
+
+
 def test_batch_without_extra_text(pipe, imgs):
     out = pipe.generate_batch(imgs, ["a dog", "a cat"], num_inference_steps=2,
                               height=32, width=32)

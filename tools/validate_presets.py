@@ -74,7 +74,6 @@ def main():
 
     import numpy as np
 
-    from imagharmony_tpu.models import clip_vision
     from imagharmony_tpu.pipelines import harmony_edit as he
     from imagharmony_tpu.pipelines import pns
     from imagharmony_tpu.utils.parity import cosine
@@ -122,20 +121,10 @@ def main():
     # CLIP embeddings via the pipeline's own towers
     import jax.numpy as jnp
 
-    def clip_image_embed(raw):
-        size = pipe.cfgs.vision.image_size
-        imgs = jnp.asarray(raw)
-        import jax
+    from imagharmony_tpu.utils import clip_metrics
 
-        imgs = jax.image.resize(imgs, (imgs.shape[0], size, size, 3), "bilinear")
-        x01 = jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
-        mean = jnp.asarray(clip_vision.IMAGE_MEAN, jnp.float32)
-        std = jnp.asarray(clip_vision.IMAGE_STD, jnp.float32)
-        emb = clip_vision.apply(
-            pipe.params["image_encoder"], pipe.cfgs.vision, (x01 - mean) / std,
-            policy=pipe.policy,
-        )["projected"].astype(jnp.float32)
-        return np.asarray(emb / jnp.linalg.norm(emb, axis=-1, keepdims=True))
+    def clip_image_embed(raw):
+        return clip_metrics.image_embeds(pipe, raw)
 
     has_bigg = "text_encoder_2" in pipe.params
     ids_g = pipe._tokenize(args.prompt)[1] if has_bigg else None
