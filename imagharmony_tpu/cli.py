@@ -35,6 +35,10 @@ def _add_edit_args(p):
     p.add_argument("--output", default="output.png")
     p.add_argument("--model-dir", default=None, help="SDXL checkpoint directory")
     p.add_argument("--adapter-ckpt", default=None, help="ip_adapter.bin / .safetensors")
+    p.add_argument("--lora", default=None,
+                   help="lora-N.safetensors from `train --lora_rank` "
+                        "(merged into the UNet before generation)")
+    p.add_argument("--lora-scale", type=float, default=1.0)
     p.add_argument("--image-encoder-dir", default=None)
     p.add_argument("--controlnet-dir", default=None,
                    help="diffusers ControlNetModel directory (optional)")
@@ -94,6 +98,8 @@ def cmd_edit(args):
         image_encoder_dir=args.image_encoder_dir,
         controlnet_dir=args.controlnet_dir,
     )
+    if getattr(args, "lora", None):
+        pipe = pipe.with_lora(args.lora, scale=args.lora_scale)
     image = Image.open(args.input).resize((512, 512))
     steps, spacing = args.steps, args.timestep_spacing or "leading"
     if args.fast:

@@ -579,6 +579,26 @@ class HarmonyPipeline:
         clone._mesh = mesh
         return clone
 
+    def with_lora(self, lora, *, scale=1.0, lora_cfg=None):
+        """Clone with LoRA factors merged into the UNet weights (exact:
+        ``W + scale*(alpha/r)*A@B``, adapters/lora.py — zero runtime cost
+        after the merge). ``lora`` is a ``save_lora`` file path or a factor
+        pytree (then pass ``lora_cfg``); ``scale`` blends the adaptation
+        (0 → base model). Beyond the reference, whose UNet is immutable."""
+        from imagharmony_tpu.adapters import lora as lora_lib
+
+        if isinstance(lora, (str, bytes)):
+            lora, lora_cfg = lora_lib.load_lora(lora)
+        elif lora_cfg is None:
+            raise ValueError("pass lora_cfg when giving a factor tree")
+        clone = object.__new__(HarmonyPipeline)
+        clone.__dict__.update(self.__dict__)
+        clone.params = dict(self.params)
+        clone.params["unet"] = jax.device_put(
+            lora_lib.apply_lora(self.params["unet"], lora, lora_cfg, scale=scale)
+        )
+        return clone
+
     def _use_batched_decode(self, rows: int) -> bool:
         """Batched VAE decode is right only when each chip decodes ≤2 rows:
         a non-divisible (replicated) batch or >2 rows per shard hits the

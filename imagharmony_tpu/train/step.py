@@ -51,6 +51,12 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     lr_schedule: str = "constant"  # constant | cosine
     lr_total_steps: int = 0  # cosine horizon (e.g. max_steps)
+    # LoRA factors on the frozen UNet attention projections, trained
+    # alongside the adapters (adapters/lora.py; the reference never adapts
+    # the base UNet). None disables.
+    lora_rank: Optional[int] = None
+    lora_alpha: Optional[float] = None
+    lora_targets: str = "to_q,to_k,to_v,to_out"
     # UNet config used to mask AdamW weight decay off the *inert* IP
     # projections (skip layers never run their decoupled branch, so their
     # grads are exactly zero; torch AdamW skips None-grad params — without
@@ -63,6 +69,17 @@ class TrainConfig:
             tree_util.adapter_plus_proj_predicate
             if self.train_image_proj
             else tree_util.adapter_predicate
+        )
+
+    def lora_config(self):
+        if not self.lora_rank:
+            return None
+        from imagharmony_tpu.adapters import lora as lora_lib
+
+        return lora_lib.LoRAConfig(
+            rank=self.lora_rank,
+            alpha=self.lora_alpha,
+            targets=tuple(self.lora_targets.split(",")),
         )
 
 
@@ -114,9 +131,17 @@ def make_optimizer(cfg: TrainConfig):
     return tx
 
 
-def init_state(params, cfg: TrainConfig):
-    """Split params into (trainable, frozen) and build optimizer state."""
+def init_state(params, cfg: TrainConfig, *, seed=0):
+    """Split params into (trainable, frozen) and build optimizer state.
+    With ``lora_rank`` set, LoRA factors for the frozen UNet join the
+    trainable tree under the extra top-level key ``"lora"`` (``seed``
+    drives their host-side init)."""
     trainable, frozen = tree_util.split_by_path(params, cfg.predicate())
+    lcfg = cfg.lora_config()
+    if lcfg is not None:
+        from imagharmony_tpu.adapters import lora as lora_lib
+
+        trainable["lora"] = lora_lib.init_lora(seed, frozen["unet"], lcfg)
     opt_state = make_optimizer(cfg).init(trainable)
     state = {"trainable": trainable, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
     if cfg.ema_decay:
@@ -135,7 +160,19 @@ def loss_fn(
     policy: dtypes.Policy = dtypes.DEFAULT,
     backend=None,
 ):
+    # LoRA factors ride the trainable tree under "lora" (not a params-tree
+    # position): fold their deltas into the UNet weights functionally —
+    # grads route through the delta-add to A/B only.
+    lora_tree = trainable.get("lora") if isinstance(trainable, dict) else None
+    if lora_tree is not None:
+        trainable = {k: v for k, v in trainable.items() if k != "lora"}
     params = tree_util.merge(trainable, frozen)
+    if lora_tree is not None:
+        from imagharmony_tpu.adapters import lora as lora_lib
+
+        params["unet"] = lora_lib.apply_lora(
+            params["unet"], lora_tree, tcfg.lora_config()
+        )
     sg = jax.lax.stop_gradient
     r_noise, r_t, r_lat, r_off = jax.random.split(rng, 4)
     acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())

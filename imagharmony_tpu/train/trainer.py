@@ -59,6 +59,14 @@ def parse_args(argv=None):
     p.add_argument("--lr_scheduler", default="constant",
                    choices=["constant", "cosine"],
                    help="cosine decays to 0 over --max_steps")
+    p.add_argument("--lora_rank", type=int, default=None,
+                   help="train LoRA factors of this rank on the frozen "
+                        "UNet attention projections alongside the adapters "
+                        "(exported as lora-N.safetensors)")
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="LoRA scaling numerator (default: rank)")
+    p.add_argument("--lora_targets", default="to_q,to_k,to_v,to_out",
+                   help="comma list of projections to factor")
     p.add_argument("--save_steps", type=int, default=2000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -185,12 +193,15 @@ def main(argv=None):
         lr_warmup_steps=args.lr_warmup_steps,
         lr_schedule=args.lr_scheduler,
         lr_total_steps=args.max_steps or 0,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+        lora_targets=args.lora_targets,
     )
     if args.lr_scheduler == "cosine" and not args.max_steps:
         raise SystemExit("--lr_scheduler cosine needs --max_steps (the decay horizon)")
     policy = dtypes.FP32 if args.mixed_precision == "no" else dtypes.DEFAULT
     backend = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else None
-    state, frozen = step_lib.init_state(params, tcfg)
+    state, frozen = step_lib.init_state(params, tcfg, seed=args.seed)
 
     n_train = tree_util.count_params([x for x in jax.tree.leaves(state["trainable"])])
     print(f"trainable params: {n_train/1e6:.2f}M")
@@ -358,8 +369,20 @@ def main(argv=None):
 
 
 def _export_adapter(args, cfgs, state, frozen, step):
-    def export(trainable, path):
-        merged = tree_util.merge(jax.tree.map(np.asarray, trainable), frozen)
+    lcfg = None
+    if args.lora_rank:
+        from imagharmony_tpu.adapters import lora as lora_lib
+
+        from imagharmony_tpu.train.step import TrainConfig as _TC
+
+        lcfg = _TC(lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+                   lora_targets=args.lora_targets).lora_config()
+
+    def export(trainable, tag):
+        trainable = jax.tree.map(np.asarray, trainable)
+        lora_tree = trainable.pop("lora", None)
+        merged = tree_util.merge(trainable, frozen)
+        path = os.path.join(args.output_dir, f"ip_adapter{tag}.bin")
         ckpt_io.save_adapter_checkpoint(
             path,
             unet_params=merged["unet"],
@@ -369,12 +392,14 @@ def _export_adapter(args, cfgs, state, frozen, step):
             harmony_cfg=cfgs.harmony,
         )
         print("exported", path)
+        if lora_tree is not None:
+            lpath = os.path.join(args.output_dir, f"lora{tag}.safetensors")
+            lora_lib.save_lora(lpath, lora_tree, lcfg)
+            print("exported", lpath)
 
-    export(state["trainable"],
-           os.path.join(args.output_dir, f"ip_adapter-{step}.bin"))
+    export(dict(state["trainable"]), f"-{step}")
     if "ema" in state:
-        export(state["ema"],
-               os.path.join(args.output_dir, f"ip_adapter-ema-{step}.bin"))
+        export(dict(state["ema"]), f"-ema-{step}")
 
 
 if __name__ == "__main__":
