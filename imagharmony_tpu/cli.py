@@ -301,6 +301,9 @@ def main(argv=None):
     p_serve.add_argument("--port", type=int, default=7860)
     p_serve.add_argument("--model-dir", default=None)
     p_serve.add_argument("--adapter-ckpt", default=None)
+    p_serve.add_argument("--lora", default=None,
+                         help="lora-N.safetensors merged into the UNet at startup")
+    p_serve.add_argument("--lora-scale", type=float, default=1.0)
     p_serve.add_argument("--continuous", action="store_true",
                          help="continuous batching: admit requests mid-denoise")
 

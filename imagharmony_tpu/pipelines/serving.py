@@ -510,6 +510,9 @@ def main(args):
     else:
         print("no --model-dir: serving the random tiny pipeline (demo mode)")
         pipe = HarmonyPipeline.random_tiny()
+    if getattr(args, "lora", None):
+        pipe = pipe.with_lora(args.lora, scale=getattr(args, "lora_scale", 1.0))
+        print(f"merged LoRA {args.lora}")
     server = make_server(
         pipe, port=args.port, continuous=getattr(args, "continuous", False)
     )
