@@ -86,6 +86,59 @@ def kblock_attn(q, k, v, scale, head_dim, bq, kb):
     )(q, k, v)
 
 
+def _batchpack_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim):
+    """All batch rows in one block: grid steps drop b-fold at S=1024 where
+    Mosaic per-step overhead dominates (PERF.md: ~10 TF/s isolated)."""
+    nb = q_ref.shape[0]
+    for i in range(nb):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        outs = []
+        for h in range(q.shape[-1] // head_dim):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            qs = (q[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+            logits = jax.lax.dot_general(
+                qs, k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            e = jnp.exp2(jnp.minimum(logits, _CLAMP))
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                e.astype(v.dtype), v[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(pv * jax.lax.reciprocal(denom))
+        o_ref[i] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def batchpack_attn(q, k, v, scale, head_dim, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    g = head_dim if head_dim % 128 == 0 else 128
+    grid = (hd // g,)
+    return pl.pallas_call(
+        functools.partial(_batchpack_kernel, scale=scale, head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, sq, g), lambda hp: (0, 0, hp)),
+            pl.BlockSpec((b, sk, g), lambda hp: (0, 0, hp)),
+            pl.BlockSpec((b, sk, g), lambda hp: (0, 0, hp)),
+        ],
+        out_specs=pl.BlockSpec((b, sq, g), lambda hp: (0, 0, hp)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def bench(f, args, iters=30):
     def loop(a):
         q = a[0]
@@ -127,6 +180,15 @@ def main():
             err = np.abs(out - ref).max()
             t2 = bench(f, (q, k, v))
             print(f"  bq={bq:4d} kb={kb:4d}: {t2:.3f} ms ({fl/t2/1e9:5.1f} TF/s) maxdiff={err:.1e}")
+        if s <= 1024:  # batch-packed: whole (b, s, 128) per grid step
+            f = lambda q_, k_, v_: batchpack_attn(q_, k_, v_, scale, 64)
+            try:
+                out = np.asarray(jax.jit(f)(q, k, v), np.float32)
+                err = np.abs(out - ref).max()
+                t2 = bench(f, (q, k, v))
+                print(f"  batch-packed  : {t2:.3f} ms ({fl/t2/1e9:5.1f} TF/s) maxdiff={err:.1e}")
+            except Exception as e:
+                print(f"  batch-packed  : FAILED {repr(e)[:100]}")
 
 
 if __name__ == "__main__":
