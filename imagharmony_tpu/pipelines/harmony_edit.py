@@ -577,6 +577,7 @@ class HarmonyPipeline:
             else mesh_lib.replicate(mesh, self.params)
         )
         clone._mesh = mesh
+        clone._tp = tensor_parallel
         return clone
 
     def with_lora(self, lora, *, scale=1.0, lora_cfg=None):
@@ -594,9 +595,15 @@ class HarmonyPipeline:
         clone = object.__new__(HarmonyPipeline)
         clone.__dict__.update(self.__dict__)
         clone.params = dict(self.params)
-        clone.params["unet"] = jax.device_put(
-            lora_lib.apply_lora(self.params["unet"], lora, lora_cfg, scale=scale)
+        clone.params["unet"] = lora_lib.apply_lora(
+            self.params["unet"], lora, lora_cfg, scale=scale
         )
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            # re-establish the mesh placement the merge destroyed (merged
+            # leaves land on the default device otherwise)
+            return clone.with_mesh(mesh, tensor_parallel=getattr(self, "_tp", False))
+        clone.params["unet"] = jax.device_put(clone.params["unet"])
         return clone
 
     def _use_batched_decode(self, rows: int) -> bool:

@@ -157,3 +157,22 @@ def test_pipeline_with_lora(tmp_path):
 
     back = pipe.with_lora(bumped, lora_cfg=cfg, scale=0.0).generate(**kw)
     np.testing.assert_array_equal(base, back)
+
+
+def test_with_lora_composes_with_mesh():
+    """with_mesh → with_lora must re-establish the mesh placement (the
+    merge makes new arrays) and equal the lora → mesh order."""
+    from imagharmony_tpu.parallel import mesh as mesh_lib
+
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    cfg = lora_lib.LoRAConfig(rank=2)
+    tree = lora_lib.init_lora(0, jax.tree.map(np.asarray, pipe.params["unet"]), cfg)
+    bumped = lora_lib.unflatten(
+        {k: v + 0.05 for k, v in lora_lib.flatten(tree).items()}
+    )
+    mesh = mesh_lib.make_mesh()
+    kw = dict(pil_image=np.zeros((32, 32, 3), np.uint8), prompt="a dog",
+              num_samples=2, num_inference_steps=2, height=32, width=32, seed=1)
+    a = pipe.with_mesh(mesh).with_lora(bumped, lora_cfg=cfg).generate(**kw)
+    b = pipe.with_lora(bumped, lora_cfg=cfg).with_mesh(mesh).generate(**kw)
+    np.testing.assert_array_equal(a, b)
