@@ -16,8 +16,9 @@ tokens, IP 4 tokens) stay on XLA where a fused softmax is already cheap.
 Shape coverage: sequences are padded up to the 256 grid quantum and the
 padded key columns are masked inside the kernel, so odd resolutions (e.g.
 81×81 latents at 648²) stay on the fused path instead of silently
-regressing to XLA. Remaining fallbacks (tiny K by design, head_dim not a
-multiple of 64, non-TPU platform) warn once per shape on TPU.
+regressing to XLA; head dims that aren't a 64 multiple (SD1.5's 40/80/160)
+are zero-padded to the quantum (exact math — zero contraction dims).
+Remaining fallbacks (tiny K by design, non-TPU platform) are by design.
 
 Backward: a Pallas kernel per (batch·head, q-block) recomputing the probs
 tile in VMEM and accumulating dk/dv across q-blocks in fp32 — nothing
@@ -58,12 +59,10 @@ def _use_pallas(q, k):
         return False
     if sk < 512:  # tiny-K branches: XLA softmax fusion is already optimal
         return False
-    if d % 64 != 0:
-        _warn_once(
-            ("head_dim", d),
-            f"flash_attention: head_dim={d} is not a multiple of 64; "
-            "falling back to XLA attention (slower at long sequences)",
-        )
+    if d % 64 != 0 and sk < 2048:
+        # padded head dims only pay off where the (Sq, Sk) materialization
+        # hurts (tools/probe_sd15_attn.py: d40 @ Sk 4096 fused is 2.15x XLA;
+        # d80 @ Sk 1024 XLA wins by 14%)
         return False
     return True
 
@@ -91,31 +90,46 @@ _LOG2E = 1.4426950408889634
 _EXP2_ARG_MAX = 115.0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_valid):
-    """One (BQ, D) output tile: full-K fused attention in VMEM.
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_valid, kb=None):
+    """One (BQ, D) output tile: fused attention in VMEM.
 
     VPU cost levers (probe-verified, tools/probe_softmax_tricks.py):
     scale·log2(e) folded into q (a (BQ,D) multiply instead of a (BQ,Sk)
     one), exp2 instead of exp, and the softmax denominator applied AFTER
     the PV matmul on the (BQ,D) output — no (BQ,Sk)-sized VPU pass except
-    max/exp2/sum themselves."""
+    exp2/sum themselves. At long Sk the no-max softmax enables rescaling-
+    free k-blocked accumulation (tools/probe_attn_kblock.py, −5.6% at
+    seq 4096); fully-padded key blocks are statically skipped."""
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (Sk, D)
     v = v_ref[0]  # (Sk, D)
+    sk = k.shape[0]
     qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
-    logits = jax.lax.dot_general(
-        qs, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    logits = _mask_cols(logits, kv_valid)
-    e = jnp.exp2(jnp.minimum(logits, _EXP2_ARG_MAX))
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        e.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if kb is None or kb >= sk:
+        steps = [(0, sk)]
+    else:
+        steps = [(j, min(j + kb, sk)) for j in range(0, sk, kb)]
+    pv = None
+    denom = None
+    for (j, je) in steps:
+        if kv_valid is not None and j >= kv_valid:
+            break
+        logits = jax.lax.dot_general(
+            qs, k[j:je],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_valid is not None and kv_valid < je:
+            logits = _mask_cols(logits, kv_valid - j)
+        e = jnp.exp2(jnp.minimum(logits, _EXP2_ARG_MAX))
+        pvj = jax.lax.dot_general(
+            e.astype(v.dtype), v[j:je],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dj = jnp.sum(e, axis=-1, keepdims=True)
+        pv = pvj if pv is None else pv + pvj
+        denom = dj if denom is None else denom + dj
     o_ref[0] = (pv * jax.lax.reciprocal(denom)).astype(o_ref.dtype)
 
 
@@ -125,7 +139,8 @@ def _flash_fwd_impl(q, k, v, scale, kv_len):
 
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq = _fwd_block_q(sq, sk)
+    kb = 1024 if sk >= 2048 else None
+    bq = _fwd_block_q(sq, kb if kb is not None else sk)
 
     qr = q.reshape(b * h, sq, d)
     kr = k.reshape(b * h, sk, d)
@@ -133,7 +148,7 @@ def _flash_fwd_impl(q, k, v, scale, kv_len):
 
     grid = (b * h, sq // bq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_valid=kv_len),
+        functools.partial(_attn_kernel, scale=scale, kv_valid=kv_len, kb=kb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
@@ -340,17 +355,29 @@ def flash_attention(q, k, v, *, scale):
     q: (B, H, Sq, D); k, v: (B, H, Sk, D). No mask support (the UNet's
     latent self-attention is unmasked; masked paths use XLA). Sequences
     are padded to the 256 quantum internally (padded keys masked), so any
-    resolution stays on the fused path.
+    resolution stays on the fused path. Head dims that aren't a multiple
+    of 64 (SD1.5's 40/80/160) are zero-padded to the quantum — exact math:
+    zero contraction dims don't change the logits, and the padded v
+    columns produce zero output columns that are sliced away.
     """
     if not _use_pallas(q, k):
         return None
     sq, sk = q.shape[-2], k.shape[-2]
+    d = q.shape[-1]
     qp = _pad_seq(q, 2, _PAD)
     kp = _pad_seq(k, 2, _PAD)
     vp = _pad_seq(v, 2, _PAD)
+    dpad = (-d) % 64
+    if dpad:
+        widths = ((0, 0), (0, 0), (0, 0), (0, dpad))
+        qp = jnp.pad(qp, widths)
+        kp = jnp.pad(kp, widths)
+        vp = jnp.pad(vp, widths)
     out = _flash(qp, kp, vp, scale, sk)
     if qp.shape[2] != sq:
         out = out[:, :, :sq, :]
+    if dpad:
+        out = out[..., :d]
     return out
 
 
@@ -369,10 +396,11 @@ def flash_attention(q, k, v, *, scale):
 
 
 def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim,
-                     mxu_sum, kv_valid):
+                     mxu_sum, kv_valid, kb=None):
     q = q_ref[0]  # (BQ, G) where G = lanes per group (n heads * head_dim)
     k = k_ref[0]  # (Sk, G)
     v = v_ref[0]  # (Sk, G)
+    sk = k.shape[0]
     outs = []
     for h in range(q.shape[-1] // head_dim):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -381,6 +409,40 @@ def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim,
         # multiplies (probe: −19/−22% kernel time at seq 4096,
         # tools/probe_softmax_tricks.py)
         qs = (q[:, sl].astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+        if kb is not None and kb < sk:
+            # K-blocked accumulation (tools/probe_attn_kblock.py: −5.6% at
+            # seq 4096): the no-max softmax has no running max, so flash-
+            # style k-blocking is PURE accumulation — no rescaling. The
+            # unrolled block loop gives Mosaic independent MXU (qk, pv) and
+            # VPU (exp2, sum) work to software-pipeline, and the logits
+            # tile shrinks from (BQ, Sk) to (BQ, KB). Blocks that are
+            # entirely key-padding (j >= kv_valid) are statically skipped.
+            pv = None
+            denom = None
+            j = 0
+            while j < sk:
+                je = min(j + kb, sk)
+                if kv_valid is not None and j >= kv_valid:
+                    break
+                logits = jax.lax.dot_general(
+                    qs, k[j:je, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if kv_valid is not None and kv_valid < je:
+                    logits = _mask_cols(logits, kv_valid - j)
+                e = jnp.exp2(jnp.minimum(logits, _EXP2_ARG_MAX))
+                pvj = jax.lax.dot_general(
+                    e.astype(v.dtype), v[j:je, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dj = jnp.sum(e, axis=-1, keepdims=True)
+                pv = pvj if pv is None else pv + pvj
+                denom = dj if denom is None else denom + dj
+                j = je
+            outs.append(pv * jax.lax.reciprocal(denom))
+            continue
         logits = jax.lax.dot_general(
             qs, k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -422,13 +484,17 @@ def _flash_nhd_impl(q, k, v, scale, head_dim, kv_len):
     # lanes per grid group: pack heads up to 128 lanes (two d=64 heads);
     # d >= 128 gets one head per group
     g = head_dim if head_dim % 128 == 0 else 128
-    bq = _fwd_block_q(sq, sk)
+    # k-blocked accumulation at long Sk (probe −5.6% at 4096); it supersedes
+    # the MXU ones-column denominator (probe: kblock + VPU block-sums beat
+    # full-K + mxu_sum at every (bq, kb) tried)
+    kb = 1024 if sk >= 2048 else None
+    bq = _fwd_block_q(sq, kb if kb is not None else sk)
 
     grid = (b, hd // g, sq // bq)
     out = pl.pallas_call(
         functools.partial(
             _attn_nhd_kernel, scale=scale, head_dim=head_dim,
-            mxu_sum=sk >= 2048, kv_valid=kv_len,
+            mxu_sum=kb is None and sk >= 2048, kv_valid=kv_len, kb=kb,
         ),
         grid=grid,
         in_specs=[

@@ -66,15 +66,38 @@ def test_dispatch_rules_interpret(interpret_mode):
     # tiny K (text/IP branches): must decline -> caller falls back to XLA
     q, k, v = _qkv(sk=128)
     assert fa.flash_attention(q, k, v, scale=0.125) is None
-    # head_dim not a multiple of 64: decline WITH a warning (loud fallback)
-    import warnings
 
-    fa._warned.clear()
-    q, k, v = _qkv(d=80)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        assert fa.flash_attention(q, k, v, scale=0.125) is None
-    assert any("head_dim" in str(x.message) for x in w)
+
+def test_headdim_pad_parity(interpret_mode):
+    """SD1.5 head dims (40/80/160) ride the fused path (Sk >= 2048, where
+    the XLA logits materialization hurts) via zero-padding to the 64
+    quantum — exact math (zero contraction dims, sliced v columns)."""
+    for d in (40, 80, 160):
+        q, k, v = _qkv(d=d, sq=256, sk=2048)
+        out = fa.flash_attention(q, k, v, scale=d**-0.5)
+        assert out is not None and out.shape == q.shape
+        ref = attn_lib.sdpa(q, k, v, backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+    # below the 2048 threshold: XLA wins at padded dims (probe) -> decline
+    q, k, v = _qkv(d=80, sq=256, sk=512)
+    assert fa.flash_attention(q, k, v, scale=80**-0.5) is None
+
+
+def test_headdim_pad_gradients(interpret_mode):
+    q, k, v = _qkv(d=40, sq=256, sk=2048)
+
+    def loss_p(q, k, v):
+        return (fa.flash_attention(q, k, v, scale=40**-0.5) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (attn_lib.sdpa(q, k, v, backend="xla") ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
 def test_odd_shapes_pad_and_mask(interpret_mode):
@@ -140,6 +163,36 @@ def test_nhd_parity_vs_xla(interpret_mode):
     assert out is not None
     ref = _ref_nhd(q, k, v, 4, 64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_nhd_kblock_parity(interpret_mode):
+    """Sk >= 2048 takes the k-blocked accumulation path (kb=1024)."""
+    q, k, v = _packed_qkv(h=2, s=256, sk=2048)
+    out = fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64)
+    assert out is not None
+    ref = _ref_nhd(q, k, v, 2, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_nhd_kblock_odd_shape_straddles_block(interpret_mode):
+    """kv_valid=2100 lands inside the third k-block (2048..2304 after the
+    256-quantum pad): the straddling block is masked, the tail skipped."""
+    q, k, v = _packed_qkv(h=2, s=256, sk=2100)
+    out = fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64)
+    assert out is not None
+    ref = _ref_nhd(q, k, v, 2, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def loss_p(q, k, v):
+        return (fa.flash_attention_nhd(q, k, v, scale=64**-0.5, head_dim=64) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (_ref_nhd(q, k, v, 2, 64) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
 def test_nhd_parity_bf16(interpret_mode):
