@@ -61,8 +61,10 @@ def _use_pallas(q, k):
         return False
     if d % 64 != 0 and sk < 2048:
         # padded head dims only pay off where the (Sq, Sk) materialization
-        # hurts (tools/probe_sd15_attn.py: d40 @ Sk 4096 fused is 2.15x XLA;
-        # d80 @ Sk 1024 XLA wins by 14%)
+        # hurts. On-chip (tools/probe_sd15_attn.py + r4 variants): fused
+        # wins at EVERY admitted shape — d40 @ 4096 2.15x, d80 @ 2304 1.88x,
+        # d80 @ 4096 5.4x, d160 @ 2048 2.3x; below the gate d80 @ 1024 XLA
+        # wins by 14% -> declined by rule.
         return False
     return True
 
@@ -139,7 +141,7 @@ def _flash_fwd_impl(q, k, v, scale, kv_len):
 
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    kb = 1024 if sk >= 2048 else None
+    kb = _kblock(sk)
     bq = _fwd_block_q(sq, kb if kb is not None else sk)
 
     qr = q.reshape(b * h, sq, d)
@@ -174,6 +176,21 @@ def _flash_fwd_impl(q, k, v, scale, kv_len):
 # Pallas backward: probs recomputed per q-block in VMEM, dk/dv accumulated
 # in fp32 across the (sequential) q-block grid axis — no (Sq, Sk) in HBM.
 # ---------------------------------------------------------------------------
+
+
+def _kblock(sk):
+    """K-block size for the no-max accumulative softmax (None = full K).
+
+    Probed on v5e (tools/probe_attn_kblock.py): kb=1024 at Sk 4096 is
+    −5.6% vs full-K; at Sk 1024 (the 32² self-attentions, Mosaic
+    per-step-overhead-bound at ~10 TF/s) kb ∈ {128..512} is −5..8% and
+    roughly flat within that range — kb=512 chosen. Below 1024 the
+    sequence is short enough that blocking only adds loop overhead."""
+    if sk >= 2048:
+        return 1024
+    if sk >= 1024:
+        return 512
+    return None
 
 
 def _fwd_block_q(sq, sk):
@@ -396,7 +413,7 @@ def flash_attention(q, k, v, *, scale):
 
 
 def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim,
-                     mxu_sum, kv_valid, kb=None):
+                     kv_valid, kb=None):
     q = q_ref[0]  # (BQ, G) where G = lanes per group (n heads * head_dim)
     k = k_ref[0]  # (Sk, G)
     v = v_ref[0]  # (Sk, G)
@@ -450,27 +467,16 @@ def _attn_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim,
         )
         logits = _mask_cols(logits, kv_valid)
         # no-max softmax with a clamped fp32 exp2 argument (see
-        # _EXP2_ARG_MAX); the (BQ,Sk) VPU passes are now exp2 + sum only
+        # _EXP2_ARG_MAX); the (BQ,Sk) VPU passes are now exp2 + sum only.
+        # (The MXU ones-column denominator variant that used to live here
+        # was superseded by k-blocking — probe record in PERF.md.)
         e = jnp.exp2(jnp.minimum(logits, _EXP2_ARG_MAX))
-        if mxu_sum:
-            # denominator as an extra accumulation column of the PV matmul:
-            # rides the (underutilized) MXU instead of a VPU reduce — wins
-            # at long Sk (probe: −8% at seq 4096, slower at 1024)
-            ones = jnp.ones((v.shape[0], 1), v.dtype)
-            vv = jnp.concatenate([v[:, sl], ones], axis=-1)
-            pv_ext = jax.lax.dot_general(
-                e.astype(v.dtype), vv,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            pv, denom = pv_ext[:, :head_dim], pv_ext[:, head_dim:]
-        else:
-            denom = jnp.sum(e, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                e.astype(v.dtype), v[:, sl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            e.astype(v.dtype), v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         outs.append(pv * jax.lax.reciprocal(denom))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
@@ -484,17 +490,22 @@ def _flash_nhd_impl(q, k, v, scale, head_dim, kv_len):
     # lanes per grid group: pack heads up to 128 lanes (two d=64 heads);
     # d >= 128 gets one head per group
     g = head_dim if head_dim % 128 == 0 else 128
-    # k-blocked accumulation at long Sk (probe −5.6% at 4096); it supersedes
-    # the MXU ones-column denominator (probe: kblock + VPU block-sums beat
-    # full-K + mxu_sum at every (bq, kb) tried)
-    kb = 1024 if sk >= 2048 else None
+    # k-blocked accumulation at long Sk (probe −5.6% at 4096, −5..8% at
+    # 1024); it supersedes the MXU ones-column denominator (probe: kblock +
+    # VPU block-sums beat full-K + mxu_sum at every (bq, kb) tried). NOTE:
+    # sk here is the 256-quantum PADDED length while _use_pallas gates on
+    # the unpadded Sk — intentional: the kernel's tile sizes are what VMEM
+    # sees, so the k-block threshold keys off the padded extent (original
+    # Sk 1793..2047 pads to 2048 and k-blocks; the dispatch gate still saw
+    # <2048).
+    kb = _kblock(sk)
     bq = _fwd_block_q(sq, kb if kb is not None else sk)
 
     grid = (b, hd // g, sq // bq)
     out = pl.pallas_call(
         functools.partial(
             _attn_nhd_kernel, scale=scale, head_dim=head_dim,
-            mxu_sum=kb is None and sk >= 2048, kv_valid=kv_len, kb=kb,
+            kv_valid=kv_len, kb=kb,
         ),
         grid=grid,
         in_specs=[

@@ -70,15 +70,38 @@ def ip_attention_maps(pipe, pil_image, *, prompt, extra_text=None, timestep=500,
         timestep=timestep, latent_size=latent_size, policy=pipe.policy,
     )
     # each: (1, heads, Sq, T_ip); layers may differ in Sq — upscale each
-    out_size = latent_size * 8
+    per_layer = [np.asarray(p, dtype=np.float32)[0] for p in probs]
+    return postprocess_ip_probs(per_layer, latent_size * 8)
+
+
+def postprocess_ip_probs(probs_list, out_size, *, token_softmax=False,
+                         minmax=True):
+    """Per-layer (heads, Sq, T) attention probabilities -> (T, out, out)
+    heatmaps: mean over heads, tokens-first transpose, square-grid reshape,
+    bilinear upscale (half-pixel centers, torch align_corners=False
+    semantics), mean over layers.
+
+    This is the reference's upscale/get_net_attn_map composition
+    (ip_adapter/utils.py:22-59) with one DELIBERATE divergence: the
+    reference applies a per-layer softmax over the TOKEN axis after the
+    upscale (utils.py:44) — a cross-token renormalization of what are
+    already per-query probabilities — and returns un-normalized means; we
+    keep the averaged probabilities and min-max normalize each token map
+    to [0, 1] for rendering. ``token_softmax=True`` reproduces the
+    reference composition exactly (used by the reference-oracle test).
+    """
     maps = []
-    for p in probs:
-        p = np.asarray(p, dtype=np.float32)[0]          # (heads, Sq, T)
+    for p in probs_list:
+        p = np.asarray(p, dtype=np.float32)              # (heads, Sq, T)
         hw = int(round(p.shape[1] ** 0.5))
-        p = p.mean(axis=0).T.reshape(-1, hw, hw)         # (T, h, w)
-        p = jax.image.resize(jnp.asarray(p), (p.shape[0], out_size, out_size), "bilinear")
-        maps.append(np.asarray(p))
+        m = p.mean(axis=0).T.reshape(-1, hw, hw)         # (T, h, w)
+        m = jax.image.resize(jnp.asarray(m), (m.shape[0], out_size, out_size), "bilinear")
+        if token_softmax:  # reference utils.py:44 (see docstring)
+            m = jax.nn.softmax(m, axis=0)
+        maps.append(np.asarray(m))
     avg = np.mean(maps, axis=0)
+    if not minmax:
+        return avg
     lo, hi = avg.min(axis=(1, 2), keepdims=True), avg.max(axis=(1, 2), keepdims=True)
     return (avg - lo) / np.maximum(hi - lo, 1e-8)
 

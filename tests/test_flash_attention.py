@@ -351,9 +351,9 @@ def test_no_max_softmax_saturates_without_nan(interpret_mode):
     assert np.isfinite(np.asarray(out2, np.float32)).all()
 
 
-def test_nhd_mxu_sum_long_k(interpret_mode):
-    """Sk >= 2048 switches the denominator onto the MXU ones-column path;
-    parity must hold through the switch."""
+def test_nhd_kblock_long_k(interpret_mode):
+    """Sk >= 2048 switches the NHD kernel onto the k-blocked accumulation
+    path (kb=1024); parity must hold through the switch."""
     b, h, d = 1, 2, 64
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
     q = jax.random.normal(ks[0], (b, 512, h * d))

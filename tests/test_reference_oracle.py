@@ -432,3 +432,79 @@ def test_fuse_composition_matches_reference_call_site(ref):
         harmony.fuse_image_embeds(params, cfg, jnp.array(text), jnp.array(img), policy=FP32)
     )
     np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+# ---------------------------------------------------------------------------
+# attn-map post-processing (ip_adapter/utils.py:22-59) — upscale + average
+# oracled against the reference's own code; the 2_0 softmax-on-key quirk
+# (attention_processor.py:443-444) demonstrated and our divergence asserted
+# as the fixed version
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    # utils.py imports torch/F/numpy/PIL only — executable in place
+    return _load_module("_ref_utils", f"{REF}/ip_adapter/utils.py")
+
+
+def test_attn_map_postprocess_vs_reference(ref_utils):
+    """Our postprocess_ip_probs(token_softmax=True, minmax=False) must equal
+    the reference's get_net_attn_map/upscale composition (utils.py:22-59):
+    CFG-pair chunk -> mean over heads -> tokens-first view -> bilinear
+    upscale (align_corners=False) -> per-layer token softmax -> layer mean.
+    Two layers at different grid sizes exercise the scale-search loop
+    (utils.py:27-31)."""
+    from imagharmony_tpu.utils import attn_maps as am
+
+    rng = np.random.default_rng(11)
+    heads, tokens = 4, 4
+    # stored maps are (B=2 CFG pair, heads, Sq, T); Sq 1024 (scale 1) and
+    # 256 (scale 2) against target 256x256
+    stored = {
+        "up_blocks.0.attentions.1.attn2": rng.normal(
+            size=(2, heads, 1024, tokens)).astype(np.float32),
+        "down_blocks.2.attentions.1.attn2": rng.normal(
+            size=(2, heads, 256, tokens)).astype(np.float32),
+    }
+    ref_utils.attn_maps.clear()
+    ref_utils.attn_maps.update({k: torch.tensor(v) for k, v in stored.items()})
+    theirs = ref_utils.get_net_attn_map((256, 256), batch_size=2).numpy()
+    ref_utils.attn_maps.clear()
+
+    cond = [v[1] for v in stored.values()]  # idx=1 = the conditional half
+    ours = am.postprocess_ip_probs(cond, 256, token_softmax=True, minmax=False)
+    assert ours.shape == theirs.shape == (tokens, 256, 256)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_attn_map_2_0_quirk_rejected():
+    """The reference's 2_0 processor stores
+    ``query @ ip_key.transpose(-2,-1).softmax(dim=-1)`` — by operator
+    precedence the softmax lands on the TRANSPOSED KEY MATRIX, not on the
+    attention logits (attention_processor.py:443-444). The non-2_0 processor
+    stores the true probabilities (attention_processor.py:221-222). Our
+    observability path computes the true probabilities: assert we match the
+    correct formula exactly and that the quirk is demonstrably not an
+    attention distribution (rows don't sum to 1)."""
+    rng = np.random.default_rng(12)
+    b, h, sq, t, d = 2, 4, 64, 4, 16
+    q = rng.normal(size=(b, h, sq, d)).astype(np.float32)
+    k_ip = rng.normal(size=(b, h, t, d)).astype(np.float32)
+
+    tq, tk = torch.tensor(q), torch.tensor(k_ip)
+    with torch.no_grad():
+        quirk = (tq @ tk.transpose(-2, -1).softmax(dim=-1)).numpy()
+        true_probs = torch.softmax(
+            (tq @ tk.transpose(-2, -1)) * d ** -0.5, dim=-1
+        ).numpy()
+
+    ours = np.asarray(nn_attention.attention_probs(jnp.array(q), jnp.array(k_ip)))
+    # we implement the fixed math (== the reference's own non-2_0 path)
+    np.testing.assert_allclose(ours, true_probs, **TOL)
+    np.testing.assert_allclose(ours.sum(-1), 1.0, rtol=1e-5, atol=1e-5)
+    # the quirk output is not a distribution over keys — not row-stochastic,
+    # not even non-negative (it is q-projected key-softmax values)
+    assert np.abs(quirk.sum(-1) - 1.0).max() > 0.1
+    assert quirk.min() < 0
+    assert np.abs(quirk - true_probs).max() > 0.1

@@ -34,7 +34,7 @@ def nhd_with_g(q, k, v, scale, head_dim, kv_len, g):
     return pl.pallas_call(
         functools.partial(
             fa._attn_nhd_kernel, scale=scale, head_dim=head_dim,
-            mxu_sum=sk >= 2048, kv_valid=kv_len,
+            kv_valid=kv_len, kb=fa._kblock(sk),
         ),
         grid=grid,
         in_specs=[
