@@ -48,7 +48,12 @@ Weights make_weights(int in_size, int out_full, int offset, int count) {
         double center = (offset + i + 0.5) * scale;
         int lo = static_cast<int>(std::max(0.0, std::floor(center - support)));
         int hi = static_cast<int>(std::min<double>(in_size, std::ceil(center + support)));
-        if (hi <= lo) hi = std::min(lo + 1, in_size);
+        // offset+count is expected to stay within out_full; if a caller
+        // overruns anyway, degrade to edge replication instead of a
+        // negative-size resize (lo can land past in_size when center is
+        // beyond the source axis)
+        lo = std::min(lo, in_size - 1);
+        if (hi <= lo) hi = lo + 1;
         w.lo[i] = lo;
         w.hi[i] = hi;
         auto& c = w.coef[i];

@@ -151,8 +151,15 @@ def cmd_demo(args):
     from imagharmony_tpu.pipelines import HarmonyPipeline
 
     pipe = HarmonyPipeline.random_tiny(seed=0)
-    rng = np.random.default_rng(args.seed)
-    ref = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    if args.input:
+        # real reference image (e.g. the upstream demo inputs) through the
+        # checkpoint-free pipe: full JPEG/PNG decode + CLIP preprocessing
+        from PIL import Image
+
+        ref = np.asarray(Image.open(args.input).convert("RGB"))
+    else:
+        rng = np.random.default_rng(args.seed)
+        ref = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
     t0 = time.time()
     out = pipe.generate(
         pil_image=ref,

@@ -45,6 +45,18 @@ def test_output_range():
     assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
 
 
+def test_out_of_range_offset_does_not_crash():
+    """Regression: an offset overrunning the resized axis used to compute a
+    negative-size weight vector in the C++ kernel and abort the process
+    (found feeding the square 1024² reference demo images with a nonzero
+    crop offset). Out-of-range now degrades to edge replication."""
+    imgs = [_batch()[0]]
+    out = native.batch_preprocess(
+        imgs, 32, tops=[5], lefts=[5], mean=(0.5,) * 3, std=(0.5,) * 3
+    )
+    assert np.isfinite(out).all()
+
+
 def test_threading_consistency():
     imgs = _batch() * 4
     kw = dict(tops=[0] * 8, lefts=[0] * 8, mean=(0.5,) * 3, std=(0.5,) * 3)
