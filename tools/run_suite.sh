@@ -13,3 +13,7 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="/root/repo:/root/.axon_site"
 python -m pytest tests/test_[a-o]*.py -q "$@"
 python -m pytest tests/test_[p-z]*.py -q "$@"
+# extended pass (opt-in): real 2-process jax.distributed drill (~5-8 min)
+if [ "${IMAGHARMONY_SUITE_EXTENDED:-0}" = "1" ]; then
+  IMAGHARMONY_MULTIHOST=1 python -m pytest tests/test_multihost.py -q "$@"
+fi
