@@ -304,6 +304,14 @@ def main(argv=None):
             frozen_r = mesh_lib.replicate(mesh, frozen)
 
         rng = jax.random.PRNGKey(args.seed)
+        # Resume fidelity: replay the per-step key splits and skip the
+        # batches the interrupted run already consumed, so a resumed run is
+        # bit-identical to an uninterrupted one (asserted in
+        # tests/test_trainer.py for plain/FSDP/LoRA modes). The reference
+        # has no resume at all (train.py:620,706-708).
+        for _ in range(start_step):
+            rng, _ = jax.random.split(rng)
+            next(batches, None)
         global_step = start_step
         # Metrics stay on-device between log points: a per-step float()
         # would block on the device each step (~25 ms tunnel RTT here —

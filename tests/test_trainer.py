@@ -43,6 +43,64 @@ def test_trainer_smoke_and_resume(tmp_path):
     assert any(k.startswith("fc1") for k in composed)
 
 
+def _assert_exports_equal(dir_a, dir_b, step, ema=False):
+    """Bit-for-bit (fp32) equality of the exported 3-dict checkpoints."""
+    for tag in ([f"-{step}"] + ([f"-ema-{step}"] if ema else [])):
+        a = ckpt_io.load_adapter_checkpoint(os.path.join(dir_a, f"ip_adapter{tag}.bin"))
+        b = ckpt_io.load_adapter_checkpoint(os.path.join(dir_b, f"ip_adapter{tag}.bin"))
+        for ta, tb in zip(a[:3], b[:3]):
+            assert set(ta) == set(tb)
+            for k in ta:
+                np.testing.assert_array_equal(ta[k], tb[k], err_msg=f"{tag}:{k}")
+
+
+def _resume_drill(tmp_path, extra_args, ema=False, lora=False):
+    """Run 4 steps straight vs 2 steps + resume to 4; exports must match
+    bit-for-bit (covers rng fast-forward, batch skip, and the orbax
+    round-trip of whatever state tree the mode carries)."""
+    common = [
+        "--tiny",
+        "--synthetic_data", "6",
+        "--train_batch_size", "2",
+        "--resolution", "32",
+        "--save_steps", "2",
+        "--learning_rate", "1e-3",
+        "--mixed_precision", "no",  # fp32: equality must be exact
+    ] + extra_args
+    out_a = str(tmp_path / "straight")
+    out_b = str(tmp_path / "resumed")
+    assert trainer.main(common + ["--output_dir", out_a, "--max_steps", "4"]) == 4
+    assert trainer.main(common + ["--output_dir", out_b, "--max_steps", "2"]) == 2
+    assert trainer.main(common + ["--output_dir", out_b, "--max_steps", "4",
+                                  "--resume"]) == 4
+    _assert_exports_equal(out_a, out_b, 4, ema=ema)
+    if lora:
+        from imagharmony_tpu.adapters import lora as lora_lib
+
+        import jax
+
+        la, _ = lora_lib.load_lora(os.path.join(out_a, "lora-4.safetensors"))
+        lb, _ = lora_lib.load_lora(os.path.join(out_b, "lora-4.safetensors"))
+        fa = jax.tree_util.tree_flatten_with_path(la)
+        fb = jax.tree_util.tree_flatten_with_path(lb)
+        assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+        for (pa, va), (_, vb) in zip(fa[0], fb[0]):
+            np.testing.assert_array_equal(va, vb, err_msg=str(pa))
+
+
+def test_trainer_resume_fsdp(tmp_path):
+    """VERDICT r3 #3: the orbax round-trip of ZeRO-3-sharded state (host
+    template restore -> re-shard) must be placement/dtype clean — resumed
+    FSDP training is bit-identical to uninterrupted."""
+    _resume_drill(tmp_path, ["--fsdp", "--fsdp_min_shard", "64"])
+
+
+def test_trainer_resume_lora_ema(tmp_path):
+    """VERDICT r3 #3: resume with LoRA factors (+ EMA tree) in the state."""
+    _resume_drill(tmp_path, ["--lora_rank", "2", "--ema_decay", "0.99"],
+                  ema=True, lora=True)
+
+
 def test_trainer_fsdp_matches_replicated(tmp_path):
     """`--fsdp` (ZeRO-3 storage sharding) end-to-end through the trainer:
     flag plumbing, sharded out_shardings + donation, export. min_shard
