@@ -313,6 +313,10 @@ def main(argv=None):
     p_serve.add_argument("--lora-scale", type=float, default=1.0)
     p_serve.add_argument("--continuous", action="store_true",
                          help="continuous batching: admit requests mid-denoise")
+    p_serve.add_argument("--turbo", action="store_true",
+                         help="default encoder propagation (interval 2) for "
+                              "requests that don't set encoder_interval "
+                              "(changes outputs; composes with --continuous)")
 
     sub.add_parser("train", help="adapter fine-tuning (args passed through)", add_help=False)
 

@@ -79,22 +79,24 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
     kind = schedule.kind
     s = latents.shape[0]
 
-    def body(carry, _):
-        lat, idx = carry
-        active = idx < n
+    def eps_at(lat, idx, *, enc=None, mid_res=None, want_enc=False):
+        """One CFG-pair UNet eval on per-row step positions. ``enc``/
+        ``mid_res`` mirror the one-jit encoder-propagation cache contract
+        (harmony_edit._denoise_encoder_prop.eps_at): enc is None on key
+        steps (encoder + ControlNet run, cache returned when want_enc); on
+        reuse steps the cached enc bakes the down-block residuals in and
+        the key-step mid_res is re-applied explicitly."""
         ci = jnp.clip(idx, 0, n - 1)
         t = jnp.take(ts, ci)                      # (S,)
         sig = jnp.take(sigmas, ci)
-        sig_n = jnp.take(sigmas, ci + 1)
         ip_s = jnp.take(ip_arr, ci)
 
-        r1 = lambda x: x.reshape(s, 1, 1, 1)
         r2 = lambda x: jnp.concatenate([x, x]).reshape(2 * s, 1, 1, 1)
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = sched.scale_model_input_c(kind, r2(sig), lat_in)
         t2 = jnp.concatenate([t, t])
-        down_res = mid_res = None
-        if "control" in bundle:
+        down_res = None
+        if "control" in bundle and enc is None:
             from imagharmony_tpu.models import controlnet as controlnet_lib
 
             down_res, mid_res = controlnet_lib.apply(
@@ -105,7 +107,7 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
                 conditioning_scale=opts.controlnet_scale,
                 backend=backend, policy=policy,
             )
-        eps = unet.apply(
+        out = unet.apply(
             params["unet"], cfgs.unet, lat_in,
             t2,
             bundle["context"],
@@ -117,7 +119,21 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
             mid_block_additional_residual=mid_res,
             policy=policy,
             backend=backend,
+            return_encoder=want_enc,
+            encoder_override=enc,
         )
+        if want_enc:
+            eps, enc_out = out
+            return eps, enc_out, mid_res
+        return out
+
+    def apply_step(lat, idx, eps):
+        """CFG combine + scheduler step + per-row freeze, advancing idx."""
+        active = idx < n
+        ci = jnp.clip(idx, 0, n - 1)
+        sig = jnp.take(sigmas, ci)
+        sig_n = jnp.take(sigmas, ci + 1)
+        r1 = lambda x: x.reshape(s, 1, 1, 1)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps_g = eps_u + opts.guidance_scale * (eps_c - eps_u)
         if opts.guidance_rescale > 0.0:
@@ -125,9 +141,58 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
         stepped = sched.step_c(kind, r1(sig), r1(sig_n), eps_g, lat)
         lat = jnp.where(r1(active), stepped, lat)
         idx = idx + active.astype(idx.dtype)
-        return (lat, idx), ()
+        return lat, idx
 
-    (latents, step_idx), _ = jax.lax.scan(body, (latents, step_idx), None, length=chunk)
+    interval = opts.encoder_interval
+    if interval <= 1:
+        def body(carry, _):
+            lat, idx = carry
+            lat, idx = apply_step(lat, idx, eps_at(lat, idx))
+            return (lat, idx), ()
+
+        (latents, step_idx), _ = jax.lax.scan(
+            body, (latents, step_idx), None, length=chunk
+        )
+        return latents, step_idx
+
+    # --- encoder propagation (--turbo) on the per-row chunk -----------------
+    # Rows only ever enter a chunk at a schedule position ≡ 0 (mod interval):
+    # admission happens at chunk boundaries at position 0 and every chunk
+    # advances active rows by exactly ``chunk`` steps, with chunk % interval
+    # == 0 enforced by SlotEngine. So the LOCAL key-step pattern (local step
+    # j is a key step iff j % interval == 0) equals the one-jit path's global
+    # pattern for every row, and the cache never needs to cross a chunk
+    # boundary. The cache is zero-initialised and local step 0 (always a key
+    # step) overwrites it via the cond's full branch — the same uniform
+    # scan-of-cond program as the one-jit turbo path, which is what makes
+    # the two paths bit-equal on TPU (a peeled straight-line first step
+    # compiles to different fusions).
+    if chunk % interval != 0:
+        raise ValueError(
+            f"chunk={chunk} must be a multiple of encoder_interval={interval}"
+        )
+    enc_s, mid_s = jax.eval_shape(
+        lambda l, i: eps_at(l, i, want_enc=True), latents, step_idx
+    )[1:]
+    zeros = lambda tree: jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), tree)
+
+    def body(carry, j):
+        lat, idx, enc, mid_res = carry
+        is_key = (j % interval) == 0
+
+        def full(lat_):
+            return eps_at(lat_, idx, want_enc=True)
+
+        def reuse(lat_):
+            return eps_at(lat_, idx, enc=enc, mid_res=mid_res), enc, mid_res
+
+        eps, enc, mid_res = jax.lax.cond(is_key, full, reuse, lat)
+        lat, idx = apply_step(lat, idx, eps)
+        return (lat, idx, enc, mid_res), ()
+
+    (latents, step_idx, _, _), _ = jax.lax.scan(
+        body, (latents, step_idx, zeros(enc_s), zeros(mid_s)), jnp.arange(chunk)
+    )
     return latents, step_idx
 
 
@@ -199,6 +264,13 @@ class SlotEngine:
             sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
             denoising_end=opts.denoising_end,
         ).num_steps
+        if opts.encoder_interval > 1 and chunk % opts.encoder_interval != 0:
+            # the turbo×chunked equality argument needs every row to enter a
+            # chunk at a position ≡ 0 (mod interval) — see _chunk_jit
+            raise ValueError(
+                f"chunk={chunk} must be a multiple of "
+                f"encoder_interval={opts.encoder_interval}"
+            )
         self.slots: List[_Slot] = [_Slot() for _ in range(slots)]
 
         down = pipe.cfgs.vae.downscale
@@ -351,6 +423,10 @@ def generate_chunked(pipe, *, pil_image=None, prompt=None, negative_prompt=None,
         num_inference_steps=opts_kw.pop("num_inference_steps", 30),
         **opts_kw,
     )
+    if opts.encoder_interval > 1 and chunk_steps % opts.encoder_interval:
+        # round the chunk up to the encoder key-step quantum (chunking
+        # granularity never changes outputs, so this is output-invariant)
+        chunk_steps += opts.encoder_interval - (chunk_steps % opts.encoder_interval)
     eng = SlotEngine(pipe, opts, slots=num_samples, chunk=chunk_steps,
                      use_controlnet=control_image is not None)
     # draw the initial noise EXACTLY as the one-jit path (harmony_edit

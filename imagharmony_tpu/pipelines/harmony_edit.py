@@ -303,7 +303,12 @@ def _denoise_encoder_prop(
     """Denoise with the UNet encoder evaluated every ``encoder_interval``-th
     step and reused in between (Faster Diffusion, arXiv 2312.09608 — the
     encoder's features drift slowly across adjacent steps, the decoder does
-    the denoising work). Step 0 is peeled to seed the cached features."""
+    the denoising work). The cache is zero-initialised and the whole loop is
+    one scan-of-cond: step 0 is a key step, so the cond's full branch
+    overwrites the zeros before any reuse step reads them. Keeping EVERY key
+    step on the identical cond program (instead of peeling step 0 as
+    straight-line code) is what makes this path bit-equal to the chunked
+    runner on TPU — a peeled step compiles to different fusions."""
     b = latents.shape[0]
     kind = schedule.kind
     n = schedule.num_steps
@@ -350,12 +355,12 @@ def _denoise_encoder_prop(
             eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
         return sched.step_c(kind, sigma, sigma_next, eps_g, lat)
 
-    # step 0 is always a key step: peel it to seed the encoder (+ ControlNet
-    # mid-residual) cache
-    eps0, enc, mid_res = eps_at(
-        latents, ts_a[0], sig_a[0], ip_arr[0], want_enc=True
-    )
-    latents = guide_step(latents, eps0, sig_a[0], sign_a[0])
+    enc_s, mid_s = jax.eval_shape(
+        lambda lat: eps_at(lat, ts_a[0], sig_a[0], ip_arr[0], want_enc=True),
+        latents,
+    )[1:]
+    zeros = lambda tree: jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), tree)
+    enc, mid_res = zeros(enc_s), zeros(mid_s)
 
     def body(carry, i):
         lat, enc, mid_res = carry
@@ -373,7 +378,7 @@ def _denoise_encoder_prop(
         return (lat, enc_new, mid_new), ()
 
     (latents, _, _), _ = jax.lax.scan(
-        body, (latents, enc, mid_res), jnp.arange(1, n)
+        body, (latents, enc, mid_res), jnp.arange(n)
     )
     return latents
 
@@ -690,13 +695,6 @@ class HarmonyPipeline:
         chunk_steps: Optional[int] = None,
         encoder_interval: int = 1,
     ):
-        if encoder_interval > 1 and (
-            callback_on_step_end is not None or chunk_steps is not None
-        ):
-            raise ValueError(
-                "encoder_interval (--turbo) is not supported on the chunked "
-                "runner (per-row step positions have no shared key step)"
-            )
         if callback_on_step_end is not None or chunk_steps is not None:
             # progress-callback path: chunked runner (same math, one extra
             # dispatch per chunk; reference demo.py:112,127 progress role)
@@ -725,6 +723,7 @@ class HarmonyPipeline:
                 control_image=control_image,
                 controlnet_scale=controlnet_conditioning_scale,
                 denoising_end=denoising_end,
+                encoder_interval=encoder_interval,
                 original_size=tuple(original_size) if original_size else None,
                 crops_coords_top_left=tuple(crops_coords_top_left),
                 target_size=tuple(target_size) if target_size else None,

@@ -79,6 +79,9 @@ class _Request:
             # requests agreeing on it (and its scale) share a device batch
             bool(p.get("control_image")),
             float(p.get("controlnet_scale", 1.0)),
+            # encoder propagation (--turbo) changes the jitted program AND
+            # the outputs — never mix intervals within a batch
+            int(p.get("encoder_interval", 1)),
         )
 
 
@@ -175,6 +178,7 @@ class BatchingWorker(threading.Thread):
             height=int(first.get("height", 1024)),
             width=int(first.get("width", 1024)),
             scheduler=str(first.get("scheduler", "euler")),
+            encoder_interval=int(first.get("encoder_interval", 1)),
             output_type="pil",
         )
         dt = time.time() - t0
@@ -206,6 +210,7 @@ class BatchingWorker(threading.Thread):
             scheduler=str(p.get("scheduler", "euler")),
             control_image=control,
             controlnet_conditioning_scale=float(p.get("controlnet_scale", 1.0)),
+            encoder_interval=int(p.get("encoder_interval", 1)),
             output_type="pil",
         )[0]
         buf = io.BytesIO()
@@ -291,9 +296,14 @@ class ContinuousWorker(threading.Thread):
             ip_scale=float(p.get("scale", 1.0)),
             use_harmony=bool(p.get("extra_text")),
             controlnet_scale=float(p.get("controlnet_scale", 1.0)),
+            encoder_interval=int(p.get("encoder_interval", 1)),
         )
+        chunk = self.chunk
+        if opts.encoder_interval > 1 and chunk % opts.encoder_interval:
+            # align chunks to encoder key steps (SlotEngine requirement)
+            chunk += opts.encoder_interval - (chunk % opts.encoder_interval)
         return continuous.SlotEngine(
-            self.pipe, opts, slots=self.max_batch, chunk=self.chunk,
+            self.pipe, opts, slots=self.max_batch, chunk=chunk,
             use_controlnet=bool(p.get("control_image")),
         )
 
@@ -443,10 +453,12 @@ class ContinuousWorker(threading.Thread):
                 self._engine = None
 
 
-def make_server(pipe, port=7860, *, continuous=False, **worker_kw):
+def make_server(pipe, port=7860, *, continuous=False, payload_defaults=None,
+                **worker_kw):
     worker_cls = ContinuousWorker if continuous else BatchingWorker
     worker = worker_cls(pipe, **worker_kw)
     worker.start()
+    payload_defaults = payload_defaults or {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -487,6 +499,8 @@ def make_server(pipe, port=7860, *, continuous=False, **worker_kw):
             except Exception as e:
                 self._send(400, json.dumps({"error": str(e)}))
                 return
+            for k, v in payload_defaults.items():
+                payload.setdefault(k, v)
             req = worker.submit(payload)
             req.event.wait()
             if req.error:
@@ -513,8 +527,14 @@ def main(args):
     if getattr(args, "lora", None):
         pipe = pipe.with_lora(args.lora, scale=getattr(args, "lora_scale", 1.0))
         print(f"merged LoRA {args.lora}")
+    defaults = {}
+    if getattr(args, "turbo", False):
+        # gated approximation, see the edit command's --turbo; requests may
+        # still pass their own encoder_interval to override
+        defaults["encoder_interval"] = 2
     server = make_server(
-        pipe, port=args.port, continuous=getattr(args, "continuous", False)
+        pipe, port=args.port, continuous=getattr(args, "continuous", False),
+        payload_defaults=defaults,
     )
     mode = "continuous" if getattr(args, "continuous", False) else "packed"
     print(f"serving on http://0.0.0.0:{args.port} ({mode} batching)")

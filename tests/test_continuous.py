@@ -293,3 +293,96 @@ def test_continuous_worker_surfaces_errors(pipe):
         assert bad.error is not None
     finally:
         worker.running = False
+
+
+def test_chunked_turbo_matches_one_jit(pipe, ref_image):
+    """Encoder propagation (--turbo) composes with the chunked runner:
+    chunks are aligned to encoder key steps (chunk % interval == 0), so
+    every row enters a chunk at a position ≡ 0 mod interval and the local
+    key-step pattern equals the one-jit path's global pattern — outputs are
+    bit-identical, including through the progress callback."""
+    for interval in (2, 3):
+        kw = dict(KW, encoder_interval=interval)
+        a = pipe.generate(pil_image=ref_image, output_type="np", **kw)
+        seen = []
+        b = pipe.generate(
+            pil_image=ref_image, output_type="np", chunk_steps=interval,
+            callback_on_step_end=lambda i, lat: seen.append(i), **kw,
+        )
+        np.testing.assert_array_equal(a, b)
+        assert seen[-1] == KW["num_inference_steps"]  # ran to completion
+        # a non-multiple chunk_steps is rounded up to the key-step quantum
+        # (chunk granularity never changes outputs)
+        c = pipe.generate(pil_image=ref_image, output_type="np",
+                          chunk_steps=interval + 1, **kw)
+        np.testing.assert_array_equal(a, c)
+    # turbo is a real approximation: interval=2 differs from the exact path
+    exact = pipe.generate(pil_image=ref_image, output_type="np", **KW)
+    turbo = pipe.generate(pil_image=ref_image, output_type="np",
+                          **dict(KW, encoder_interval=2))
+    assert not np.array_equal(exact, turbo)
+
+
+def test_slot_engine_turbo_mid_flight(pipe, ref_image):
+    """Mid-flight admission under turbo: a row admitted at a later chunk
+    boundary still reproduces its solo run bit-for-bit (its local key-step
+    pattern is position-aligned), and a misaligned chunk is rejected."""
+    opts = he.EditOptions(height=32, width=32, num_inference_steps=4,
+                          use_harmony=False, encoder_interval=2)
+    with pytest.raises(ValueError, match="multiple of"):
+        cont.SlotEngine(pipe, opts, slots=2, chunk=3)
+
+    def run(jobs):
+        eng = cont.SlotEngine(pipe, opts, slots=2, chunk=2)
+        out = {}
+        started = []
+        for _ in range(8):
+            for tok, kw in jobs:
+                if tok not in started and eng.free_slots():
+                    eng.admit(tok, pil_image=ref_image, **kw)
+                    started.append(tok)
+                    break  # stagger: at most one admission per chunk
+            eng.run_chunk()
+            for tok, img in eng.harvest():
+                out[tok] = img
+            if len(out) == len(jobs):
+                break
+        return out
+
+    both = run([("A", dict(prompt="a dog", seed=1)),
+                ("B", dict(prompt="a cat", seed=2))])
+    solo_a = run([("A", dict(prompt="a dog", seed=1))])
+    solo_b = run([("B", dict(prompt="a cat", seed=2))])
+    np.testing.assert_array_equal(both["A"], solo_a["A"])
+    np.testing.assert_array_equal(both["B"], solo_b["B"])
+
+
+def test_chunked_turbo_controlnet_matches_one_jit(cn_pipe, ref_image):
+    """Turbo × chunked × ControlNet: the cached mid-block residual is
+    re-applied on reuse steps exactly as the one-jit propagated path."""
+    cond = np.random.default_rng(3).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    kw = dict(KW, encoder_interval=2)
+    a = cn_pipe.generate(pil_image=ref_image, control_image=cond,
+                         output_type="np", **kw)
+    b = cn_pipe.generate(pil_image=ref_image, control_image=cond,
+                         output_type="np", chunk_steps=2, **kw)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_continuous_worker_turbo_payload(pipe):
+    """A payload carrying encoder_interval runs through continuous serving;
+    the engine chunk is aligned up to the key-step quantum."""
+    from imagharmony_tpu.pipelines import serving
+
+    worker = serving.ContinuousWorker(pipe, max_batch=2, chunk=1)
+    worker.start()
+    try:
+        payload = dict(prompt="a dog", steps=4, height=32, width=32, seed=1,
+                       encoder_interval=2)
+        r = worker.submit(payload)
+        assert r.event.wait(180)
+        assert r.error is None
+        assert worker._engine is not None and worker._engine.chunk == 2
+        assert worker._engine.opts.encoder_interval == 2
+    finally:
+        worker.running = False

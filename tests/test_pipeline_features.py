@@ -307,7 +307,8 @@ def test_encoder_propagation_turbo_controlnet(ref_image):
 def test_encoder_propagation_turbo(pipe, ref_image):
     """encoder_interval=2 (the --turbo preset, arXiv 2312.09608): runs,
     differs from the exact schedule, stays structurally close, and is
-    deterministic. Rejected on the chunked runner."""
+    deterministic. (Composition with the chunked runner is covered by
+    test_continuous.py::test_chunked_turbo_matches_one_jit.)"""
     from imagharmony_tpu.utils.parity import cosine
 
     exact = _gen(pipe, ref_image, num_inference_steps=4, output_type="raw")
@@ -320,6 +321,3 @@ def test_encoder_propagation_turbo(pipe, ref_image):
     again = _gen(pipe, ref_image, num_inference_steps=4, output_type="raw",
                  encoder_interval=2)
     np.testing.assert_array_equal(np.asarray(turbo), np.asarray(again))
-
-    with pytest.raises(ValueError):
-        _gen(pipe, ref_image, encoder_interval=2, chunk_steps=2)
