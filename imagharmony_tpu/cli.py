@@ -44,6 +44,12 @@ def _add_edit_args(p):
                    help="diffusers ControlNetModel directory (optional)")
     p.add_argument("--control-image", default=None,
                    help="conditioning image for the ControlNet branch")
+    p.add_argument("--init-image", default=None,
+                   help="img2img: start from this image noised to "
+                        "--strength of the schedule instead of pure noise")
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="img2img strength in (0,1]: fraction of the "
+                        "schedule actually denoised (diffusers semantics)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--guidance-scale", type=float, default=5.0)
     p.add_argument("--steps", type=int, default=30)
@@ -51,7 +57,7 @@ def _add_edit_args(p):
     p.add_argument("--num-samples", type=int, default=1)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
-    p.add_argument("--scheduler", default="euler", choices=["euler", "ddim"])
+    p.add_argument("--scheduler", default="euler", choices=["euler", "ddim", "dpm++"])
     p.add_argument("--fast", action="store_true",
                    help="latency preset: 15 steps + trailing timestep spacing "
                         "(arXiv 2305.08891; changes outputs vs the 30-step default)")
@@ -113,6 +119,9 @@ def cmd_edit(args):
     kw = dict(
         encoder_interval=2 if getattr(args, "turbo", False) else 1,
         control_image=(Image.open(args.control_image) if args.control_image else None),
+        init_image=(Image.open(args.init_image)
+                    if getattr(args, "init_image", None) else None),
+        strength=getattr(args, "strength", 0.8),
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,
         extra_text=args.extra_text,
@@ -301,7 +310,7 @@ def main(argv=None):
     p_par.add_argument("--steps", type=int, default=8)
     p_par.add_argument("--size", type=int, default=256)
     p_par.add_argument("--seed", type=int, default=0)
-    p_par.add_argument("--scheduler", default="euler", choices=["euler", "ddim"])
+    p_par.add_argument("--scheduler", default="euler", choices=["euler", "ddim", "dpm++"])
     p_par.add_argument("--target", type=float, default=0.999)
 
     p_serve = sub.add_parser("serve", help="batched editing service")

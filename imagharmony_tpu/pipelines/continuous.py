@@ -57,12 +57,15 @@ def _prep_jit(params, cfgs, opts, ids, pixel_values, *, num_samples, policy):
 @functools.partial(
     jax.jit, static_argnames=("cfgs", "opts", "chunk", "policy", "backend"),
 )
-def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
+def _chunk_jit(params, cfgs, opts, latents, step_idx, solver_state, bundle, *,
                chunk: int, policy, backend=None):
     """Run ``chunk`` denoise steps; each row advances from its own step_idx.
 
     latents: (S, h, w, 4); step_idx: (S,) int32 — rows with
     step_idx >= num_steps are frozen (finished or empty slots).
+    solver_state: multistep-solver history (sched.init_solver_state) carried
+    ACROSS chunk boundaries — per-row, frozen rows keep theirs; () for
+    single-step schedulers.
     bundle: conditioning dict with (2S, ...) rows in [uncond | cond] order;
     an optional "control" entry (2S, Hc, Wc, 3) runs the ControlNet branch
     per step (per-row control images, CFG-duplicated like the other rows).
@@ -127,8 +130,9 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
             return eps, enc_out, mid_res
         return out
 
-    def apply_step(lat, idx, eps):
-        """CFG combine + scheduler step + per-row freeze, advancing idx."""
+    def apply_step(lat, idx, st, eps):
+        """CFG combine + scheduler step + per-row freeze, advancing idx.
+        Frozen rows keep latents AND solver state (the same where-mask)."""
         active = idx < n
         ci = jnp.clip(idx, 0, n - 1)
         sig = jnp.take(sigmas, ci)
@@ -138,22 +142,27 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
         eps_g = eps_u + opts.guidance_scale * (eps_c - eps_u)
         if opts.guidance_rescale > 0.0:
             eps_g = he.rescale_noise_cfg(eps_g, eps_c, opts.guidance_rescale)
-        stepped = sched.step_c(kind, r1(sig), r1(sig_n), eps_g, lat)
+        stepped, st_new = sched.step_s(
+            kind, r1(sig), r1(sig_n), eps_g, lat, st
+        )
         lat = jnp.where(r1(active), stepped, lat)
+        st = jax.tree.map(
+            lambda new, old: jnp.where(r1(active), new, old), st_new, st
+        )
         idx = idx + active.astype(idx.dtype)
-        return lat, idx
+        return lat, idx, st
 
     interval = opts.encoder_interval
     if interval <= 1:
         def body(carry, _):
-            lat, idx = carry
-            lat, idx = apply_step(lat, idx, eps_at(lat, idx))
-            return (lat, idx), ()
+            lat, idx, st = carry
+            lat, idx, st = apply_step(lat, idx, st, eps_at(lat, idx))
+            return (lat, idx, st), ()
 
-        (latents, step_idx), _ = jax.lax.scan(
-            body, (latents, step_idx), None, length=chunk
+        (latents, step_idx, solver_state), _ = jax.lax.scan(
+            body, (latents, step_idx, solver_state), None, length=chunk
         )
-        return latents, step_idx
+        return latents, step_idx, solver_state
 
     # --- encoder propagation (--turbo) on the per-row chunk -----------------
     # Rows only ever enter a chunk at a schedule position ≡ 0 (mod interval):
@@ -177,7 +186,7 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
     zeros = lambda tree: jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), tree)
 
     def body(carry, j):
-        lat, idx, enc, mid_res = carry
+        lat, idx, enc, mid_res, st = carry
         is_key = (j % interval) == 0
 
         def full(lat_):
@@ -187,13 +196,15 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, bundle, *,
             return eps_at(lat_, idx, enc=enc, mid_res=mid_res), enc, mid_res
 
         eps, enc, mid_res = jax.lax.cond(is_key, full, reuse, lat)
-        lat, idx = apply_step(lat, idx, eps)
-        return (lat, idx, enc, mid_res), ()
+        lat, idx, st = apply_step(lat, idx, st, eps)
+        return (lat, idx, enc, mid_res, st), ()
 
-    (latents, step_idx, _, _), _ = jax.lax.scan(
-        body, (latents, step_idx, zeros(enc_s), zeros(mid_s)), jnp.arange(chunk)
+    (latents, step_idx, _, _, solver_state), _ = jax.lax.scan(
+        body,
+        (latents, step_idx, zeros(enc_s), zeros(mid_s), solver_state),
+        jnp.arange(chunk),
     )
-    return latents, step_idx
+    return latents, step_idx, solver_state
 
 
 @functools.partial(jax.jit, static_argnames=("cfgs", "opts", "policy"))
@@ -215,18 +226,21 @@ def _decode_jit(params, cfgs, opts, latents, *, policy):
 
 
 @jax.jit
-def _write_slot(latents, step_idx, bundle, lat1, bundle1, i):
-    """Install a prepared request into slot i (device-side row writes)."""
+def _write_slot(latents, step_idx, solver_state, bundle, lat1, bundle1, i):
+    """Install a prepared request into slot i (device-side row writes).
+    The slot's multistep solver history resets to zeros — the admitted
+    row's first step is first-order, exactly like step 0 of a solo run."""
     s = latents.shape[0]
     latents = latents.at[i].set(lat1[0])
     step_idx = step_idx.at[i].set(0)
+    solver_state = jax.tree.map(lambda a: a.at[i].set(0), solver_state)
 
     def wr(dst, src):
         dst = dst.at[i].set(src[0])
         return dst.at[s + i].set(src[1])
 
     bundle = jax.tree.map(wr, bundle, bundle1)
-    return latents, step_idx, bundle
+    return latents, step_idx, solver_state, bundle
 
 
 @dataclasses.dataclass
@@ -259,11 +273,13 @@ class SlotEngine:
         self.opts = opts
         self.num_slots = slots
         self.chunk = chunk
-        self.num_steps = sched.make(
+        _schedule = sched.make(
             opts.scheduler, opts.num_inference_steps,
             sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
             denoising_end=opts.denoising_end,
-        ).num_steps
+        )
+        self.num_steps = _schedule.num_steps
+        self._kind = _schedule.kind
         if opts.encoder_interval > 1 and chunk % opts.encoder_interval != 0:
             # the turbo×chunked equality argument needs every row to enter a
             # chunk at a position ≡ 0 (mod interval) — see _chunk_jit
@@ -279,6 +295,9 @@ class SlotEngine:
         self.latents = jnp.zeros((slots, h, w, 4), dt)
         # empty slots sit at num_steps (finished ≡ frozen)
         self.step_idx = jnp.full((slots,), self.num_steps, jnp.int32)
+        # per-row multistep solver history, carried across chunk boundaries
+        # (() for single-step schedulers)
+        self.solver_state = sched.init_solver_state(self._kind, self.latents)
         self.bundle = None  # allocated on first admit (shapes from prep)
 
     # -- request lifecycle ---------------------------------------------------
@@ -370,18 +389,18 @@ class SlotEngine:
                 return jnp.zeros((2 * self.num_slots,) + x.shape[1:], x.dtype)
 
             self.bundle = jax.tree.map(alloc, bundle1)
-        self.latents, self.step_idx, self.bundle = _write_slot(
-            self.latents, self.step_idx, self.bundle, lat1, bundle1,
-            jnp.int32(i),
+        self.latents, self.step_idx, self.solver_state, self.bundle = _write_slot(
+            self.latents, self.step_idx, self.solver_state, self.bundle,
+            lat1, bundle1, jnp.int32(i),
         )
         self.slots[i] = _Slot(request=request_token, started=time.time())
         return i
 
     def run_chunk(self):
         """Advance every active row by up to ``chunk`` steps."""
-        self.latents, self.step_idx = _chunk_jit(
+        self.latents, self.step_idx, self.solver_state = _chunk_jit(
             self.pipe.params, self.pipe.cfgs, self.opts,
-            self.latents, self.step_idx, self.bundle,
+            self.latents, self.step_idx, self.solver_state, self.bundle,
             chunk=self.chunk, policy=self.pipe.policy, backend=self.pipe.backend,
         )
 

@@ -69,6 +69,10 @@ class EditOptions:
     # reference pipeline's output_type="latent" split
     # (custom_pipelines.py:361-377)
     return_latents: bool = False
+    # img2img (beyond the reference — diffusers Img2ImgPipeline semantics):
+    # skip the first N schedule steps and start from the init image noised
+    # to step N; set via generate(init_image=..., strength=...)
+    img2img_skip: int = 0
     # SDXL micro-conditioning overrides ((h, w) / (top, left) tuples;
     # None -> output size / zero crop; reference custom_pipelines.py:48-53)
     original_size: Optional[tuple] = None
@@ -254,7 +258,8 @@ def denoise(
             policy=policy, backend=backend,
         )
 
-    def body(lat, x):
+    def body(carry, x):
+        lat, solver_state = carry
         t, sigma, sigma_next, ip_s = x
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
@@ -288,10 +293,14 @@ def denoise(
         eps_g = eps_u + guidance_scale * (eps_c - eps_u)
         if guidance_rescale > 0.0:
             eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
-        lat = sched.step_c(kind, sigma, sigma_next, eps_g, lat)
-        return lat, ()
+        lat, solver_state = sched.step_s(
+            kind, sigma, sigma_next, eps_g, lat, solver_state
+        )
+        return (lat, solver_state), ()
 
-    latents, _ = jax.lax.scan(body, latents, xs)
+    (latents, _), _ = jax.lax.scan(
+        body, (latents, sched.init_solver_state(kind, latents)), xs
+    )
     return latents
 
 
@@ -348,12 +357,12 @@ def _denoise_encoder_prop(
             return eps, enc_out, mid_res
         return out
 
-    def guide_step(lat, eps, sigma, sigma_next):
+    def guide_step(lat, eps, sigma, sigma_next, solver_state):
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps_g = eps_u + guidance_scale * (eps_c - eps_u)
         if guidance_rescale > 0.0:
             eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
-        return sched.step_c(kind, sigma, sigma_next, eps_g, lat)
+        return sched.step_s(kind, sigma, sigma_next, eps_g, lat, solver_state)
 
     enc_s, mid_s = jax.eval_shape(
         lambda lat: eps_at(lat, ts_a[0], sig_a[0], ip_arr[0], want_enc=True),
@@ -363,7 +372,7 @@ def _denoise_encoder_prop(
     enc, mid_res = zeros(enc_s), zeros(mid_s)
 
     def body(carry, i):
-        lat, enc, mid_res = carry
+        lat, enc, mid_res, solver_state = carry
         t, sig, sig_n, ip_s = ts_a[i], sig_a[i], sign_a[i], ip_arr[i]
         is_key = (i % encoder_interval) == 0
 
@@ -374,11 +383,13 @@ def _denoise_encoder_prop(
             return eps_at(lat_, t, sig, ip_s, enc=enc, mid_res=mid_res), enc, mid_res
 
         eps, enc_new, mid_new = jax.lax.cond(is_key, full, reuse, lat)
-        lat = guide_step(lat, eps, sig, sig_n)
-        return (lat, enc_new, mid_new), ()
+        lat, solver_state = guide_step(lat, eps, sig, sig_n, solver_state)
+        return (lat, enc_new, mid_new, solver_state), ()
 
-    (latents, _, _), _ = jax.lax.scan(
-        body, (latents, enc, mid_res), jnp.arange(n)
+    (latents, _, _, _), _ = jax.lax.scan(
+        body,
+        (latents, enc, mid_res, sched.init_solver_state(kind, latents)),
+        jnp.arange(n),
     )
     return latents
 
@@ -395,6 +406,7 @@ def _edit_jit(
     pixel_values,   # (1, H, W, 3) CLIP-preprocessed
     noise,          # (num_samples, h, w, 4)
     control_cond=None,  # (1, Hc, Wc, 3) in [0,1] for the ControlNet branch
+    init_pixels=None,   # (1, H, W, 3) in [-1,1] — img2img starting image
     *,
     num_samples: int,
     policy: dtypes.Policy = dtypes.DEFAULT,
@@ -404,10 +416,11 @@ def _edit_jit(
     schedule = sched.make(
         opts.scheduler, opts.num_inference_steps, cfg_sched,
         denoising_end=opts.denoising_end, denoising_start=opts.denoising_start,
+        skip_steps=opts.img2img_skip,
     )
-    n_skip = 0
+    n_skip = opts.img2img_skip
     if opts.denoising_start is not None and 0.0 < opts.denoising_start < 1.0:
-        n_skip = sched.steps_for_denoising_end(
+        n_skip += sched.steps_for_denoising_end(
             opts.num_inference_steps, opts.denoising_start, cfg_sched
         )
     ip_scales = ip_scale_schedule(opts)[n_skip: n_skip + schedule.num_steps]
@@ -427,7 +440,22 @@ def _edit_jit(
         cond2 = jnp.concatenate([cond_rows, cond_rows], axis=0)
         cn = (params["controlnet"], cfgs.controlnet, cond2, opts.controlnet_scale)
 
-    latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
+    if init_pixels is not None:
+        # img2img (diffusers Img2ImgPipeline semantics): deterministic VAE
+        # posterior mean of the init image, noised to the tail schedule's
+        # first step. bf16 encode mirrors the bf16 decode rationale below.
+        enc_policy = (
+            policy if policy.compute_dtype == jnp.bfloat16
+            else dtypes.Policy(compute_dtype=jnp.float32)
+        )
+        img_lat = vae.encode(
+            params["vae"], cfgs.vae, init_pixels, sample=False, policy=enc_policy
+        ).astype(jnp.float32)
+        img_lat = jnp.repeat(img_lat, noise.shape[0] // img_lat.shape[0], axis=0)
+        latents = sched.img2img_init(schedule, img_lat, noise)
+        latents = latents.astype(policy.compute_dtype)
+    else:
+        latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
     latents = denoise(
         params["unet"], cfgs.unet, latents, context2, pooled2, time_ids, ip2,
         schedule, ip_scales, guidance_scale=opts.guidance_scale,
@@ -488,6 +516,18 @@ def preprocess_control(cfgs, control_image, height, width):
         control_image.convert("RGB").resize((cw, ch)), np.float32
     ) / 255.0
     return arr[None]
+
+
+def preprocess_init_image(image, height, width):
+    """Resize one RGB image (PIL or HWC uint8 array) to the output
+    resolution, [-1,1] NHWC float32 — the VAE encoder's input contract
+    (img2img starting image)."""
+    from PIL import Image as _Image
+
+    if isinstance(image, np.ndarray):
+        image = _Image.fromarray(image.astype(np.uint8))
+    arr = np.asarray(image.convert("RGB").resize((width, height)), np.float32)
+    return (arr / 127.5 - 1.0)[None]
 
 
 class HarmonyPipeline:
@@ -623,13 +663,14 @@ class HarmonyPipeline:
         n_data = mesh.shape[mesh_lib.DATA_AXIS]
         return rows % n_data == 0 and rows // n_data <= 2
 
-    def _place_request(self, noise, ids, pixel_values, control_cond=None):
+    def _place_request(self, noise, ids, pixel_values, control_cond=None,
+                       init_pixels=None):
         """On a mesh clone: shard noise rows over ``data`` (when the row
         count divides), replicate the small conditioning inputs. No-op on
         a single-device pipeline."""
         mesh = getattr(self, "_mesh", None)
         if mesh is None:
-            return noise, ids, pixel_values, control_cond
+            return noise, ids, pixel_values, control_cond, init_pixels
         from imagharmony_tpu.parallel import mesh as mesh_lib
 
         n_data = mesh.shape[mesh_lib.DATA_AXIS]
@@ -642,7 +683,9 @@ class HarmonyPipeline:
         pixel_values = rep(pixel_values)
         if control_cond is not None:
             control_cond = rep(control_cond)
-        return noise, ids, pixel_values, control_cond
+        if init_pixels is not None:
+            init_pixels = rep(init_pixels)
+        return noise, ids, pixel_values, control_cond, init_pixels
 
     # -- pieces ------------------------------------------------------------
 
@@ -683,6 +726,8 @@ class HarmonyPipeline:
         denoising_end: Optional[float] = None,
         denoising_start: Optional[float] = None,
         latents=None,
+        init_image=None,
+        strength: float = 0.8,
         timestep_spacing: str = "leading",
         original_size=None,
         crops_coords_top_left=(0, 0),
@@ -705,6 +750,11 @@ class HarmonyPipeline:
                     "callback_on_step_end/chunk_steps does not support the "
                     "refiner-stage inputs (latents=, denoising_start=); use "
                     "the one-jit path for the handoff consumer"
+                )
+            if init_image is not None:
+                raise ValueError(
+                    "callback_on_step_end/chunk_steps does not support "
+                    "img2img (init_image=); use the one-jit path"
                 )
             return continuous.generate_chunked(
                 self, pil_image=pil_image, prompt=prompt,
@@ -736,6 +786,22 @@ class HarmonyPipeline:
             )
         prompt = prompt or DEFAULT_PROMPT
         negative_prompt = negative_prompt or DEFAULT_NEGATIVE
+
+        init_pixels = None
+        img2img_skip = 0
+        if init_image is not None:
+            # img2img (beyond the reference; diffusers Img2ImgPipeline
+            # get_timesteps semantics): start from the init image noised
+            # to step skip = n - int(n*strength)
+            if latents is not None or denoising_start is not None:
+                raise ValueError(
+                    "init_image= cannot combine with the refiner-stage "
+                    "inputs (latents=, denoising_start=)"
+                )
+            img2img_skip = sched.img2img_skip_steps(num_inference_steps, strength)
+            init_pixels = jnp.asarray(
+                preprocess_init_image(init_image, height, width)
+            )
 
         if pixel_values is None:
             pixel_values = clip_vision.preprocess_numpy(
@@ -774,6 +840,7 @@ class HarmonyPipeline:
             negative_target_size=tuple(negative_target_size)
             if negative_target_size else None,
             controlnet_scale=controlnet_conditioning_scale,
+            img2img_skip=img2img_skip,
             return_latents=output_type == "latent",
             batched_decode=self._use_batched_decode(num_samples),
             encoder_interval=encoder_interval,
@@ -809,11 +876,12 @@ class HarmonyPipeline:
                 preprocess_control(self.cfgs, control_image, height, width)
             )
 
-        noise, ids, pixel_values, control_cond = self._place_request(
-            noise, ids, pixel_values, control_cond
+        noise, ids, pixel_values, control_cond, init_pixels = self._place_request(
+            noise, ids, pixel_values, control_cond, init_pixels
         )
         images = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
+            init_pixels,
             num_samples=num_samples, policy=self.policy, backend=self.backend,
         )
         if output_type == "latent" or denoising_end is not None:
@@ -915,7 +983,7 @@ class HarmonyPipeline:
                 preprocess_control(self.cfgs, c, height, width)
                 for c in control_images
             ]))
-        noise, ids, pixel_values, control_cond = self._place_request(
+        noise, ids, pixel_values, control_cond, _ = self._place_request(
             noise, ids, pixel_values, control_cond
         )
         images_out = _edit_jit(

@@ -1,13 +1,24 @@
-"""Stateless diffusion schedulers (DDPM add-noise, DDIM, Euler discrete).
+"""Stateless diffusion schedulers (DDPM add-noise, DDIM, Euler discrete,
+DPM-Solver++ 2M).
 
 The reference delegates to diffusers' DDPMScheduler for training
 (reference train.py:505,644) and the pipeline's scheduler (SDXL ships
 EulerDiscreteScheduler) for inference (custom_pipelines.py:334,357).
+DPM-Solver++ 2M (Lu et al., arXiv 2211.01095 — diffusers'
+DPMSolverMultistepScheduler, the most common scheduler swap for SDXL) is
+provided beyond the reference.
 
 TPU-first design: a schedule is a bundle of *precomputed per-step arrays*
 (timesteps, sigmas / alpha-cumprods), so the denoise loop is a
 ``lax.scan`` over stacked step constants — no Python state, no
 data-dependent shapes, trivially vmappable over PNS seed batches.
+Multistep solvers carry their history (previous x0 prediction + log-sigma)
+as an explicit scan state (``init_solver_state`` / ``step_s``) instead of
+mutable scheduler attributes, so the same step function serves the one-jit
+scan, the per-row chunked runner (each row at its own schedule position),
+and mid-flight admission (a freshly admitted row's state resets to
+"no history" and its first step is first-order, exactly like step 0 of a
+solo run).
 """
 
 from __future__ import annotations
@@ -84,11 +95,11 @@ def velocity_target(acp, latents, noise, timesteps):
 class Schedule:
     """Per-step constants, all shaped (num_steps,) (+1 where noted).
 
-    kind:          "euler" | "ddim"
+    kind:          "euler" | "ddim" | "dpm++"
     timesteps:     UNet conditioning timesteps
-    sigmas:        (num_steps + 1,) for euler (last entry 0); for ddim these
-                   are alpha-cumprods at each step with a trailing final
-                   alpha (=1.0 → x0 at the end)
+    sigmas:        (num_steps + 1,) for euler/dpm++ (last entry 0); for ddim
+                   these are alpha-cumprods at each step with a trailing
+                   final alpha (=1.0 → x0 at the end)
     init_noise_sigma: multiply initial N(0,1) latents by this
     """
 
@@ -157,6 +168,23 @@ def ddim_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -
     )
 
 
+def dpmpp_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> Schedule:
+    """DPM-Solver++ 2M. Same spaced-timestep/interpolated-sigma grid as
+    euler (diffusers DPMSolverMultistepScheduler.set_timesteps uses the
+    identical np.interp over the trained sigmas, final sigma 0), but the
+    sample is carried at VP scale (x = alpha_t*x0 + sigma_t*eps stays
+    ~N(0,1)): init_noise_sigma is 1.0 and scale_model_input is identity.
+
+    Note: latent handoffs (denoising_end -> denoising_start, output_type
+    "latent") must use the same scheduler kind on both sides — euler
+    carries latents at VE scale (x0 + sigma*eps), dpm++ at VP scale."""
+    s = euler_schedule(num_steps, cfg)
+    return Schedule(
+        kind="dpm++", timesteps=s.timesteps, sigmas=s.sigmas,
+        init_noise_sigma=1.0,
+    )
+
+
 def scale_model_input(schedule: Schedule, i, sample):
     """Pre-UNet input scaling (reference custom_pipelines.py:334)."""
     if schedule.kind == "euler":
@@ -193,7 +221,10 @@ def scale_model_input_c(kind: str, sigma, sample):
 
 def step_c(kind: str, sigma, sigma_next, model_output, sample):
     """Reverse step from explicit per-step constants (scan-friendly).
-    For ddim, (sigma, sigma_next) are (alpha_t, alpha_prev)."""
+    For ddim, (sigma, sigma_next) are (alpha_t, alpha_prev). Multistep
+    kinds (dpm++) must go through ``step_s`` (they carry history)."""
+    if kind == "dpm++":
+        raise ValueError("dpm++ is multistep — use step_s with a solver state")
     dtype = sample.dtype
     s32 = sample.astype(jnp.float32)
     eps = model_output.astype(jnp.float32)
@@ -204,6 +235,78 @@ def step_c(kind: str, sigma, sigma_next, model_output, sample):
     x0 = (s32 - jnp.sqrt(1.0 - sigma) * eps) / jnp.sqrt(sigma)
     dir_xt = jnp.sqrt(1.0 - sigma_next) * eps
     return (jnp.sqrt(sigma_next) * x0 + dir_xt).astype(dtype)
+
+
+def init_solver_state(kind: str, latents):
+    """Per-batch multistep solver history for ``step_s``. Single-step kinds
+    (euler/ddim) carry an empty tuple — zero cost in the scan carry.
+
+    For dpm++: x0 = previous step's converted model output (fp32), lam =
+    -log(sigma) at that step, valid = 1.0 once history exists. All three are
+    per-row ((B,...) leading axis) so the chunked runner's rows — each at
+    its own schedule position — keep independent histories, and a row reset
+    to zeros behaves exactly like step 0 of a fresh run (first-order)."""
+    if kind != "dpm++":
+        return ()
+    b1 = (latents.shape[0],) + (1,) * (latents.ndim - 1)
+    return {
+        "x0": jnp.zeros(latents.shape, jnp.float32),
+        "lam": jnp.zeros(b1, jnp.float32),
+        "valid": jnp.zeros(b1, jnp.float32),
+    }
+
+
+def step_s(kind: str, sigma, sigma_next, model_output, sample, state):
+    """State-carrying reverse step: returns ``(new_sample, new_state)``.
+
+    euler/ddim delegate to ``step_c`` with an empty state. dpm++ is the
+    DPM-Solver++ 2M multistep update (arXiv 2211.01095 eq. 4.6 / diffusers
+    multistep_dpm_solver_second_order_update with algorithm_type
+    "dpmsolver++", epsilon prediction, final sigma 0): data-prediction
+    midpoint rule over log-SNR (lambda = -log sigma in the karras
+    sigma parametrization). The first step of a run (state.valid == 0) and
+    the final step (sigma_next == 0, where the second-order coefficients
+    diverge — diffusers forces lower_order_final for final_sigmas_type
+    "zero") use the first-order update, which for epsilon prediction is
+    exactly the DDIM (eta=0) step.
+
+    sigma/sigma_next may be scalars (lockstep scan) or (B,1,1,1) per-row
+    constants (chunked runner); both broadcast against the state.
+    """
+    if kind != "dpm++":
+        return step_c(kind, sigma, sigma_next, model_output, sample), state
+    dtype = sample.dtype
+    s32 = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    sig = jnp.asarray(sigma, jnp.float32)
+    sig_n = jnp.asarray(sigma_next, jnp.float32)
+
+    # VP parametrization from the karras sigma: alpha = 1/sqrt(sig^2+1),
+    # sigma_vp = sig*alpha, lambda = log(alpha/sigma_vp) = -log(sig)
+    alpha = 1.0 / jnp.sqrt(sig**2 + 1.0)
+    alpha_n = 1.0 / jnp.sqrt(sig_n**2 + 1.0)
+    x0 = s32 * jnp.sqrt(sig**2 + 1.0) - sig * eps  # (sample - sigma_vp*eps)/alpha
+    ratio_vp = (sig_n * alpha_n) / (sig * alpha)   # sigma_vp_next / sigma_vp
+    ehm1 = sig_n / sig - 1.0                       # exp(-h) - 1, exact at sig_n=0
+
+    first = ratio_vp * s32 - alpha_n * ehm1 * x0
+
+    # second order needs h = log(sig/sig_next); guard sig_next=0 (that step
+    # is first-order anyway — the where() below discards this branch)
+    lam = -jnp.log(sig)
+    h = -jnp.log(jnp.maximum(sig_n, 1e-10)) - lam  # lambda_next - lambda
+    h0 = lam - state["lam"]                                   # lambda - lambda_prev
+    d1 = (x0 - state["x0"]) * (h / jnp.maximum(h0, 1e-10))
+    second = ratio_vp * s32 - alpha_n * ehm1 * (x0 + 0.5 * d1)
+
+    use_first = jnp.logical_or(state["valid"] == 0.0, sig_n == 0.0)
+    out = jnp.where(use_first, first, second).astype(dtype)
+    new_state = {
+        "x0": x0,
+        "lam": jnp.broadcast_to(lam, state["lam"].shape).astype(jnp.float32),
+        "valid": jnp.ones_like(state["valid"]),
+    }
+    return out, new_state
 
 
 def scan_constants(schedule: Schedule):
@@ -245,12 +348,43 @@ def _tail(schedule: Schedule, n_skip: int) -> Schedule:
     )
 
 
+def img2img_skip_steps(num_steps: int, strength: float) -> int:
+    """diffusers img2img timestep mapping (StableDiffusionXLImg2ImgPipeline
+    get_timesteps): run the LAST ``int(num_steps*strength)`` steps, starting
+    from the input image noised to that step's level."""
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    init_steps = min(int(num_steps * strength), num_steps)
+    return max(num_steps - init_steps, 0)
+
+
+def img2img_init(schedule: Schedule, image_latents, noise):
+    """Noise scaled image latents to the schedule's FIRST step — the
+    img2img starting point (diffusers scheduler.add_noise at
+    timesteps[t_start]); pass the result as generate(latents=...) would be,
+    at the storage scale of the schedule's kind (VE for euler, VP for
+    dpm++/ddim)."""
+    x = image_latents.astype(jnp.float32)
+    eps = noise.astype(jnp.float32)
+    if schedule.kind == "euler":
+        return x + schedule.sigmas[0] * eps
+    if schedule.kind == "dpm++":
+        sig = schedule.sigmas[0]
+        alpha = 1.0 / jnp.sqrt(sig**2 + 1.0)
+        return alpha * (x + sig * eps)
+    # ddim: sigmas entries are alpha-cumprods
+    a = schedule.sigmas[0]
+    return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * eps
+
+
 def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConfig(),
-         *, denoising_end=None, denoising_start=None) -> Schedule:
+         *, denoising_end=None, denoising_start=None, skip_steps: int = 0) -> Schedule:
     if kind == "euler":
         s = euler_schedule(num_steps, cfg)
     elif kind == "ddim":
         s = ddim_schedule(num_steps, cfg)
+    elif kind in ("dpm++", "dpmpp"):
+        s = dpmpp_schedule(num_steps, cfg)
     else:
         raise ValueError(f"unknown scheduler kind {kind!r}")
     if denoising_end is not None and 0.0 < denoising_end < 1.0:
@@ -259,4 +393,7 @@ def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConf
         # the complement split: a base run with denoising_end=x ran the first
         # steps_for_denoising_end(x) steps; the refiner runs the rest
         s = _tail(s, steps_for_denoising_end(num_steps, denoising_start, cfg))
+    if skip_steps:
+        # img2img: start from the input image noised to step ``skip_steps``
+        s = _tail(s, skip_steps)
     return s

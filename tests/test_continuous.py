@@ -386,3 +386,62 @@ def test_continuous_worker_turbo_payload(pipe):
         assert worker._engine.opts.encoder_interval == 2
     finally:
         worker.running = False
+
+
+def test_chunked_dpmpp_matches_one_jit(pipe, ref_image):
+    """DPM-Solver++ 2M through the chunked runner: the multistep history
+    (previous x0 prediction + log-sigma) is carried ACROSS chunk boundaries
+    per row, so outputs are bit-identical to the one-jit scan — including
+    composed with encoder propagation (--turbo)."""
+    kw = dict(KW, scheduler="dpm++")
+    a = pipe.generate(pil_image=ref_image, output_type="np", **kw)
+    seen = []
+    b = pipe.generate(pil_image=ref_image, output_type="np", chunk_steps=2,
+                      callback_on_step_end=lambda i, lat: seen.append(i), **kw)
+    np.testing.assert_array_equal(a, b)
+    assert seen[-1] == KW["num_inference_steps"]
+    # uneven chunking (3 does not divide 4) exercises a boundary mid-history
+    c = pipe.generate(pil_image=ref_image, output_type="np", chunk_steps=3, **kw)
+    np.testing.assert_array_equal(a, c)
+    # x turbo: per-row state + encoder cache compose
+    t1 = pipe.generate(pil_image=ref_image, output_type="np",
+                       **dict(kw, encoder_interval=2))
+    t2 = pipe.generate(pil_image=ref_image, output_type="np", chunk_steps=2,
+                       **dict(kw, encoder_interval=2))
+    np.testing.assert_array_equal(t1, t2)
+    # dpm++ is a different solver: outputs differ from euler
+    e = pipe.generate(pil_image=ref_image, output_type="np", **KW)
+    assert not np.array_equal(a, e)
+
+
+def test_slot_engine_dpmpp_mid_flight_state_reset(pipe, ref_image):
+    """Mid-flight admission under dpm++: a row admitted into a batch whose
+    other row already has solver history must start with a FRESH first-order
+    step (state reset in _write_slot) — its output must equal its solo run
+    bit-for-bit."""
+    opts = he.EditOptions(height=32, width=32, num_inference_steps=4,
+                          use_harmony=False, scheduler="dpm++")
+
+    def run(jobs):
+        eng = cont.SlotEngine(pipe, opts, slots=2, chunk=2)
+        out = {}
+        started = []
+        for _ in range(8):
+            for tok, kw in jobs:
+                if tok not in started and eng.free_slots():
+                    eng.admit(tok, pil_image=ref_image, **kw)
+                    started.append(tok)
+                    break  # stagger: at most one admission per chunk
+            eng.run_chunk()
+            for tok, img in eng.harvest():
+                out[tok] = img
+            if len(out) == len(jobs):
+                break
+        return out
+
+    both = run([("A", dict(prompt="a dog", seed=1)),
+                ("B", dict(prompt="a cat", seed=2))])
+    solo_a = run([("A", dict(prompt="a dog", seed=1))])
+    solo_b = run([("B", dict(prompt="a cat", seed=2))])
+    np.testing.assert_array_equal(both["A"], solo_a["A"])
+    np.testing.assert_array_equal(both["B"], solo_b["B"])

@@ -321,3 +321,79 @@ def test_encoder_propagation_turbo(pipe, ref_image):
     again = _gen(pipe, ref_image, num_inference_steps=4, output_type="raw",
                  encoder_interval=2)
     np.testing.assert_array_equal(np.asarray(turbo), np.asarray(again))
+
+
+def test_dpmpp_scheduler_generate(pipe, ref_image):
+    """scheduler="dpm++" (DPM-Solver++ 2M, beyond the reference): runs
+    through the full pipeline, is deterministic, differs from euler and
+    ddim, and stays structurally close to euler at equal steps (same noise,
+    same model — only the solver changes)."""
+    from imagharmony_tpu.utils.parity import cosine
+
+    kw = dict(num_inference_steps=4, output_type="raw")
+    d = _gen(pipe, ref_image, scheduler="dpm++", **kw)
+    e = _gen(pipe, ref_image, scheduler="euler", **kw)
+    i = _gen(pipe, ref_image, scheduler="ddim", **kw)
+    assert np.isfinite(np.asarray(d)).all()
+    assert not np.array_equal(np.asarray(d), np.asarray(e))
+    assert not np.array_equal(np.asarray(d), np.asarray(i))
+    assert cosine(np.asarray(d), np.asarray(e)) > 0.95
+    again = _gen(pipe, ref_image, scheduler="dpm++", **kw)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(again))
+
+
+def test_img2img_strength(pipe, ref_image):
+    """img2img (init_image=/strength=, beyond the reference — diffusers
+    Img2ImgPipeline get_timesteps semantics): runs on every scheduler,
+    deterministic, anchored to the init image. Low strength keeps the
+    output closer to the init image's VAE round-trip than high strength,
+    and a strength below 1/n (zero denoise steps) IS the exact VAE
+    round-trip of the init image."""
+    import jax.numpy as jnp
+
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.models import vae
+    from imagharmony_tpu.pipelines import harmony_edit as he
+    from imagharmony_tpu.utils.parity import cosine
+
+    rng = np.random.default_rng(5)
+    init = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    kw = dict(num_inference_steps=4, output_type="raw")
+
+    base = np.asarray(_gen(pipe, ref_image, **kw))
+    for schd in ("euler", "ddim", "dpm++"):
+        low = np.asarray(_gen(pipe, ref_image, scheduler=schd,
+                              init_image=init, strength=0.5, **kw))
+        assert np.isfinite(low).all()
+        assert not np.array_equal(low, np.asarray(
+            _gen(pipe, ref_image, scheduler=schd, **kw)))
+        again = np.asarray(_gen(pipe, ref_image, scheduler=schd,
+                                init_image=init, strength=0.5, **kw))
+        np.testing.assert_array_equal(low, again)
+
+    # zero-step strength == exact VAE round-trip (the img2img_init at
+    # sigma=0 is the image latents themselves). Exact oracle on an fp32
+    # clone of the pipeline (in bf16 the one-jit vs two-jit XLA fusion
+    # split alone moves the deep decoder's output by ~1e-1 on random
+    # weights, which would test fusion luck, not the img2img math).
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+
+    pipe32 = HarmonyPipeline(pipe.params, pipe.cfgs, pipe.tokenizers,
+                             policy=dtypes.FP32, backend=pipe.backend)
+    recon = np.asarray(_gen(pipe32, ref_image, init_image=init, strength=0.2, **kw))
+    pix = jnp.asarray(he.preprocess_init_image(init, 32, 32))
+    pol = dtypes.Policy(compute_dtype=jnp.float32)
+    lat = vae.encode(pipe.params["vae"], pipe.cfgs.vae, pix, sample=False,
+                     policy=pol).astype(jnp.float32)
+    manual = np.asarray(vae.decode(pipe.params["vae"], pipe.cfgs.vae, lat, policy=pol))
+    assert cosine(recon, manual) > 0.9999
+    np.testing.assert_allclose(recon, manual, atol=1e-3)
+
+    # the diffusers get_timesteps mapping, exact
+    assert sched.img2img_skip_steps(4, 1.0) == 0
+    assert sched.img2img_skip_steps(4, 0.5) == 2
+    assert sched.img2img_skip_steps(4, 0.2) == 4  # zero denoise steps
+    assert sched.img2img_skip_steps(30, 0.8) == 6
+
+    with pytest.raises(ValueError, match="strength"):
+        _gen(pipe, ref_image, init_image=init, strength=1.5, **kw)
