@@ -67,6 +67,9 @@ def _add_edit_args(p):
                         "changes outputs; composes with --fast)")
     p.add_argument("--timestep-spacing", default=None,
                    choices=["leading", "trailing", "linspace"])
+    p.add_argument("--karras", action="store_true",
+                   help="Karras rho=7 sigma spacing (arXiv 2206.00364; "
+                        "euler/dpm++ only — diffusers use_karras_sigmas)")
     p.add_argument("--tile-vae", action="store_true")
     p.add_argument("--pns", type=int, default=0, help="preference-guided noise selection over K seeds")
     p.add_argument("--attn-maps", default=None, metavar="DIR",
@@ -129,6 +132,7 @@ def cmd_edit(args):
         guidance_scale=args.guidance_scale,
         num_inference_steps=steps,
         timestep_spacing=spacing,
+        use_karras_sigmas=getattr(args, "karras", False),
         seed=args.seed,
         num_samples=args.num_samples,
         height=args.height,

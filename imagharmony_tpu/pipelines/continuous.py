@@ -72,7 +72,8 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, solver_state, bundle, *,
     """
     schedule = sched.make(
         opts.scheduler, opts.num_inference_steps,
-        sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+        sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing,
+                                  use_karras_sigmas=opts.use_karras),
         denoising_end=opts.denoising_end,
     )
     n = schedule.num_steps
@@ -275,7 +276,8 @@ class SlotEngine:
         self.chunk = chunk
         _schedule = sched.make(
             opts.scheduler, opts.num_inference_steps,
-            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing,
+                                  use_karras_sigmas=opts.use_karras),
             denoising_end=opts.denoising_end,
         )
         self.num_steps = _schedule.num_steps
@@ -357,7 +359,8 @@ class SlotEngine:
             noise = jnp.asarray(noise, jnp.float32)
         schedule = sched.make(
             opts.scheduler, opts.num_inference_steps,
-            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing),
+            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing,
+                                  use_karras_sigmas=opts.use_karras),
             denoising_end=opts.denoising_end,
         )
         lat1 = (noise * schedule.init_noise_sigma).astype(pipe.policy.compute_dtype)

@@ -51,6 +51,8 @@ class EditOptions:
     # includes t≈999 and is markedly better at low step counts
     # (arXiv 2305.08891 §4.2) — the basis of the --fast preset.
     timestep_spacing: str = "leading"
+    # Karras rho=7 sigma spacing (arXiv 2206.00364; euler/dpm++ only)
+    use_karras: bool = False
     guidance_scale: float = 5.0
     ip_scale: float = 1.0
     control_guidance_start: float = 0.0
@@ -412,7 +414,10 @@ def _edit_jit(
     policy: dtypes.Policy = dtypes.DEFAULT,
     backend: Optional[str] = None,
 ):
-    cfg_sched = sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing)
+    cfg_sched = sched.NoiseScheduleConfig(
+        timestep_spacing=opts.timestep_spacing,
+        use_karras_sigmas=opts.use_karras,
+    )
     schedule = sched.make(
         opts.scheduler, opts.num_inference_steps, cfg_sched,
         denoising_end=opts.denoising_end, denoising_start=opts.denoising_start,
@@ -729,6 +734,7 @@ class HarmonyPipeline:
         init_image=None,
         strength: float = 0.8,
         timestep_spacing: str = "leading",
+        use_karras_sigmas: bool = False,
         original_size=None,
         crops_coords_top_left=(0, 0),
         target_size=None,
@@ -767,6 +773,7 @@ class HarmonyPipeline:
                 num_inference_steps=num_inference_steps,
                 height=height, width=width, scheduler=scheduler,
                 timestep_spacing=timestep_spacing,
+                use_karras=use_karras_sigmas,
                 control_guidance_start=control_guidance_start,
                 control_guidance_end=control_guidance_end,
                 guidance_rescale=guidance_rescale, tile_vae=tile_vae,
@@ -830,6 +837,7 @@ class HarmonyPipeline:
             denoising_end=denoising_end,
             denoising_start=denoising_start,
             timestep_spacing=timestep_spacing,
+            use_karras=use_karras_sigmas,
             original_size=tuple(original_size) if original_size else None,
             crops_coords_top_left=tuple(crops_coords_top_left),
             target_size=tuple(target_size) if target_size else None,

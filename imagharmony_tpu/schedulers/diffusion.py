@@ -45,6 +45,10 @@ class NoiseScheduleConfig:
     # (final_alpha_cumprod = alphas_cumprod[0] ≈ 0.9991); True uses 1.0
     # (plain DDIM paper behavior, lands exactly on x0).
     set_alpha_to_one: bool = False
+    # Karras et al. 2022 (arXiv 2206.00364 eq. 5) rho=7 sigma spacing —
+    # diffusers' use_karras_sigmas option: concentrates steps at low noise.
+    # Supported by euler and dpm++ (diffusers DDIM has no karras option).
+    use_karras_sigmas: bool = False
 
 
 def alphas_cumprod(cfg: NoiseScheduleConfig) -> np.ndarray:
@@ -131,11 +135,34 @@ def _spaced_timesteps(num_steps, cfg: NoiseScheduleConfig) -> np.ndarray:
     return ts
 
 
+def _sigma_to_t(sigmas, log_sigmas):
+    """Invert the trained sigma curve at the given sigmas by piecewise-
+    linear interpolation in log-sigma (diffusers EulerDiscrete._sigma_to_t),
+    yielding fractional conditioning timesteps for Karras-spaced sigmas."""
+    log_sigma = np.log(np.maximum(sigmas, 1e-10))
+    dists = log_sigma[None, :] - log_sigmas[:, None]
+    low_idx = np.cumsum(dists >= 0, axis=0).argmax(axis=0)
+    low_idx = np.clip(low_idx, 0, len(log_sigmas) - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0.0, 1.0)
+    return ((1.0 - w) * low_idx + w * high_idx).astype(np.float32)
+
+
 def euler_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> Schedule:
     acp = alphas_cumprod(cfg)
     all_sigmas = ((1.0 - acp) / acp) ** 0.5
     ts = _spaced_timesteps(num_steps, cfg)
     sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
+    if cfg.use_karras_sigmas:
+        # rho=7 ramp between the spaced grid's sigma_max and sigma_min
+        # (arXiv 2206.00364 eq. 5 / diffusers _convert_to_karras), then
+        # recover the matching fractional timesteps from the trained curve
+        rho = 7.0
+        smax, smin = sigmas[0], sigmas[-1]
+        ramp = np.linspace(0.0, 1.0, num_steps)
+        sigmas = (smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+        ts = _sigma_to_t(sigmas, np.log(all_sigmas))
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
     # diffusers EulerDiscreteScheduler.init_noise_sigma: plain max sigma for
     # linspace/trailing spacing, sqrt(max^2+1) for the leading default
@@ -152,6 +179,9 @@ def euler_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) 
 
 
 def ddim_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> Schedule:
+    if cfg.use_karras_sigmas:
+        raise ValueError("use_karras_sigmas is not supported for ddim "
+                         "(matching diffusers DDIMScheduler)")
     acp = alphas_cumprod(cfg)
     ts = _spaced_timesteps(num_steps, cfg).astype(np.int64)
     alphas = acp[ts]

@@ -397,3 +397,22 @@ def test_img2img_strength(pipe, ref_image):
 
     with pytest.raises(ValueError, match="strength"):
         _gen(pipe, ref_image, init_image=init, strength=1.5, **kw)
+
+
+def test_karras_sigmas_generate(pipe, ref_image):
+    """use_karras_sigmas=True through the pipeline: runs on euler and
+    dpm++, deterministic, differs from the default spacing, and is
+    bit-equal between the one-jit and chunked paths."""
+    kw = dict(num_inference_steps=4, output_type="np")
+    for schd in ("euler", "dpm++"):
+        k = _gen(pipe, ref_image, scheduler=schd, use_karras_sigmas=True, **kw)
+        base = _gen(pipe, ref_image, scheduler=schd, **kw)
+        assert not np.array_equal(k, base)
+        again = _gen(pipe, ref_image, scheduler=schd, use_karras_sigmas=True, **kw)
+        np.testing.assert_array_equal(k, again)
+    chunked = _gen(pipe, ref_image, scheduler="dpm++", use_karras_sigmas=True,
+                   chunk_steps=2, **kw)
+    one_jit = _gen(pipe, ref_image, scheduler="dpm++", use_karras_sigmas=True, **kw)
+    np.testing.assert_array_equal(chunked, one_jit)
+    with pytest.raises(ValueError, match="karras"):
+        _gen(pipe, ref_image, scheduler="ddim", use_karras_sigmas=True, **kw)

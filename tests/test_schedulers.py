@@ -264,3 +264,36 @@ def test_dpmpp_step_c_rejected():
 
     with pytest.raises(ValueError, match="multistep"):
         sched.step_c("dpm++", 1.0, 0.5, jnp.zeros((1, 2, 2, 4)), jnp.zeros((1, 2, 2, 4)))
+
+
+def test_karras_sigmas():
+    """use_karras_sigmas (arXiv 2206.00364 eq. 5, rho=7): same endpoints as
+    the spaced grid, monotone decreasing, concentrated at low noise, and
+    the recovered fractional timesteps invert the trained sigma curve."""
+    import pytest
+
+    base = sched.euler_schedule(10)
+    cfg = sched.NoiseScheduleConfig(use_karras_sigmas=True)
+    k = sched.euler_schedule(10, cfg)
+    bs, ks = np.asarray(base.sigmas), np.asarray(k.sigmas)
+    np.testing.assert_allclose(ks[0], bs[0], rtol=1e-5)    # sigma_max kept
+    np.testing.assert_allclose(ks[-2], bs[-2], rtol=1e-5)  # sigma_min kept
+    assert ks[-1] == 0.0
+    assert (np.diff(ks[:-1]) < 0).all()
+    # rho=7 concentrates steps at LOW noise: the median sigma drops
+    assert np.median(ks[:-1]) < np.median(bs[:-1])
+    # timesteps invert the trained curve: exp(interp(t, log all_sigmas)) == sigma
+    acp = sched.alphas_cumprod(cfg)
+    log_all = np.log(((1.0 - acp) / acp) ** 0.5)
+    ts = np.asarray(k.timesteps)
+    recovered = np.exp(np.interp(ts, np.arange(len(log_all)), log_all))
+    np.testing.assert_allclose(recovered, ks[:-1], rtol=1e-3)
+    # init_noise_sigma rule unchanged (leading spacing -> sqrt(max^2+1))
+    np.testing.assert_allclose(
+        k.init_noise_sigma, float((ks[:-1].max() ** 2 + 1.0) ** 0.5), rtol=1e-6
+    )
+    # dpm++ inherits the karras grid; ddim rejects it (as diffusers)
+    kd = sched.make("dpm++", 10, cfg)
+    np.testing.assert_array_equal(np.asarray(kd.sigmas), ks)
+    with pytest.raises(ValueError, match="karras"):
+        sched.make("ddim", 10, cfg)
