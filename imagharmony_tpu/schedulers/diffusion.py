@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,12 @@ class NoiseScheduleConfig:
     # diffusers' use_karras_sigmas option: concentrates steps at low noise.
     # Supported by euler and dpm++ (diffusers DDIM has no karras option).
     use_karras_sigmas: bool = False
+    # Zero terminal SNR (arXiv 2305.08891 §3.1 / diffusers
+    # rescale_betas_zero_snr): shift+rescale sqrt(alphas_cumprod) so the
+    # last timestep is pure noise. Meant for v-prediction models trained
+    # with it (e.g. SD2.1-style fine-tunes); epsilon prediction is
+    # undefined at SNR=0.
+    rescale_betas_zero_snr: bool = False
 
 
 def alphas_cumprod(cfg: NoiseScheduleConfig) -> np.ndarray:
@@ -63,7 +70,15 @@ def alphas_cumprod(cfg: NoiseScheduleConfig) -> np.ndarray:
         betas = np.linspace(cfg.beta_start, cfg.beta_end, cfg.num_train_timesteps, dtype=np.float64)
     else:
         raise ValueError(cfg.beta_schedule)
-    return np.cumprod(1.0 - betas).astype(np.float32)
+    acp = np.cumprod(1.0 - betas)
+    if cfg.rescale_betas_zero_snr:
+        # diffusers rescale_zero_terminal_snr: operate on sqrt(acp) — pin
+        # the first entry, shift the last to exactly 0
+        sa = np.sqrt(acp)
+        sa0, saT = sa[0], sa[-1]
+        sa = (sa - saT) * (sa0 / (sa0 - saT))
+        acp = sa**2
+    return acp.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +166,9 @@ def _sigma_to_t(sigmas, log_sigmas):
 
 def euler_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> Schedule:
     acp = alphas_cumprod(cfg)
+    # at zero terminal SNR acp[-1]==0 → infinite sigma; diffusers
+    # EulerDiscrete substitutes 2^-24 there (no-op otherwise)
+    acp = np.maximum(acp, np.float32(2.0**-24))
     all_sigmas = ((1.0 - acp) / acp) ** 0.5
     ts = _spaced_timesteps(num_steps, cfg)
     sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
@@ -217,57 +235,97 @@ def dpmpp_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) 
 
 def scale_model_input(schedule: Schedule, i, sample):
     """Pre-UNet input scaling (reference custom_pipelines.py:334)."""
-    if schedule.kind == "euler":
+    if schedule.kind in ("euler", "euler_a"):
         sigma = schedule.sigmas[i]
         return sample / jnp.sqrt(sigma**2 + 1.0).astype(sample.dtype)
     return sample
 
 
-def step(schedule: Schedule, i, model_output, sample):
-    """One reverse-diffusion step x_t -> x_{t-1} (epsilon prediction)."""
-    dtype = sample.dtype
-    s32 = sample.astype(jnp.float32)
-    eps = model_output.astype(jnp.float32)
-    if schedule.kind == "euler":
-        sigma = schedule.sigmas[i]
-        sigma_next = schedule.sigmas[i + 1]
-        denoised = s32 - sigma * eps
-        derivative = (s32 - denoised) / sigma
-        return (s32 + derivative * (sigma_next - sigma)).astype(dtype)
-    # DDIM (eta=0)
-    alpha_t = schedule.sigmas[i]
-    alpha_prev = schedule.sigmas[i + 1]
-    x0 = (s32 - jnp.sqrt(1.0 - alpha_t) * eps) / jnp.sqrt(alpha_t)
-    dir_xt = jnp.sqrt(1.0 - alpha_prev) * eps
-    return (jnp.sqrt(alpha_prev) * x0 + dir_xt).astype(dtype)
+def step(schedule: Schedule, i, model_output, sample, prediction_type: str = "epsilon"):
+    """One reverse-diffusion step x_t -> x_{t-1} (Schedule-indexed)."""
+    return step_c(
+        schedule.kind, schedule.sigmas[i], schedule.sigmas[i + 1],
+        model_output, sample, prediction_type,
+    )
 
 
 def scale_model_input_c(kind: str, sigma, sample):
     """scale_model_input from explicit per-step constants (scan-friendly)."""
-    if kind == "euler":
+    if kind in ("euler", "euler_a"):
         return sample / jnp.sqrt(sigma**2 + 1.0).astype(sample.dtype)
     return sample
 
 
-def step_c(kind: str, sigma, sigma_next, model_output, sample):
+def to_epsilon(kind: str, sigma, model_output, sample, prediction_type: str):
+    """Convert a UNet output in any parametrization to epsilon at the
+    current step, so every solver below runs its (exact) epsilon form.
+
+    prediction_type: "epsilon" | "v_prediction" | "sample" (diffusers
+    names). ``sigma`` is the step's alpha-cumprod for ddim, the karras
+    sigma for euler/dpm++; ``sample`` is at the kind's storage scale (VP
+    for ddim/dpm++, VE for euler). The v-prediction formulas are
+    division-free, so they remain finite at zero terminal SNR (where
+    alpha_cumprod == 0 and epsilon itself is undefined).
+
+    With x = a·x0 + s·eps (a²+s²=1) and v = a·eps − s·x0:
+    eps = s·x + a·v exactly (expand: s·a·x0 + s²eps + a²eps − a·s·x0).
+    """
+    if prediction_type == "epsilon":
+        return model_output
+    m32 = model_output.astype(jnp.float32)
+    s32 = sample.astype(jnp.float32)
+    if kind == "ddim":
+        a = jnp.sqrt(jnp.asarray(sigma, jnp.float32))       # sqrt(acp_t)
+        s = jnp.sqrt(1.0 - jnp.asarray(sigma, jnp.float32))
+        if prediction_type == "v_prediction":
+            return s * s32 + a * m32
+        if prediction_type == "sample":
+            return (s32 - a * m32) / s  # s = sqrt(1-acp) > 0 for acp < 1
+        raise ValueError(prediction_type)
+    # euler (VE storage x_ve = x0 + sigma·eps) and dpm++ (VP storage
+    # x_vp = alpha·x_ve): VP coefficients a = alpha = 1/sqrt(sigma²+1),
+    # s = sigma·alpha
+    sig = jnp.asarray(sigma, jnp.float32)
+    alpha = 1.0 / jnp.sqrt(sig**2 + 1.0)
+    x_vp = s32 * alpha if kind in ("euler", "euler_a") else s32
+    if prediction_type == "v_prediction":
+        return (sig * alpha) * x_vp + alpha * m32
+    if prediction_type == "sample":
+        return (x_vp - alpha * m32) / (sig * alpha)
+    raise ValueError(prediction_type)
+
+
+def step_c(kind: str, sigma, sigma_next, model_output, sample,
+           prediction_type: str = "epsilon"):
     """Reverse step from explicit per-step constants (scan-friendly).
     For ddim, (sigma, sigma_next) are (alpha_t, alpha_prev). Multistep
     kinds (dpm++) must go through ``step_s`` (they carry history)."""
     if kind == "dpm++":
         raise ValueError("dpm++ is multistep — use step_s with a solver state")
+    if kind == "euler_a":
+        raise ValueError("euler_a is stochastic — use step_s with an rng-"
+                         "carrying solver state")
     dtype = sample.dtype
     s32 = sample.astype(jnp.float32)
-    eps = model_output.astype(jnp.float32)
+    eps = to_epsilon(kind, sigma, model_output, sample, prediction_type).astype(jnp.float32)
     if kind == "euler":
         denoised = s32 - sigma * eps
         derivative = (s32 - denoised) / sigma
         return (s32 + derivative * (sigma_next - sigma)).astype(dtype)
-    x0 = (s32 - jnp.sqrt(1.0 - sigma) * eps) / jnp.sqrt(sigma)
+    # ddim: compute x0 division-free for v/sample predictions (the epsilon
+    # form divides by sqrt(alpha_t), which is 0 at zero terminal SNR)
+    if prediction_type == "v_prediction":
+        a = jnp.sqrt(jnp.asarray(sigma, jnp.float32))
+        x0 = a * s32 - jnp.sqrt(1.0 - sigma) * model_output.astype(jnp.float32)
+    elif prediction_type == "sample":
+        x0 = model_output.astype(jnp.float32)
+    else:
+        x0 = (s32 - jnp.sqrt(1.0 - sigma) * eps) / jnp.sqrt(sigma)
     dir_xt = jnp.sqrt(1.0 - sigma_next) * eps
     return (jnp.sqrt(sigma_next) * x0 + dir_xt).astype(dtype)
 
 
-def init_solver_state(kind: str, latents):
+def init_solver_state(kind: str, latents, key=None):
     """Per-batch multistep solver history for ``step_s``. Single-step kinds
     (euler/ddim) carry an empty tuple — zero cost in the scan carry.
 
@@ -275,7 +333,21 @@ def init_solver_state(kind: str, latents):
     -log(sigma) at that step, valid = 1.0 once history exists. All three are
     per-row ((B,...) leading axis) so the chunked runner's rows — each at
     its own schedule position — keep independent histories, and a row reset
-    to zeros behaves exactly like step 0 of a fresh run (first-order)."""
+    to zeros behaves exactly like step 0 of a fresh run (first-order).
+
+    For euler_a the state carries the PRNG ``key`` the per-step ancestral
+    noise is drawn from (one key for the whole batch; rows get independent
+    rows of each draw). It must be supplied — the chunked/continuous
+    runner, whose rows sit at different schedule positions, cannot share
+    one key stream and rejects the kind here."""
+    if kind == "euler_a":
+        if key is None:
+            raise ValueError(
+                "euler_a needs an rng key for its ancestral noise — "
+                "supported on the one-jit generate path only (not the "
+                "chunked/continuous runner)"
+            )
+        return {"key": key}
     if kind != "dpm++":
         return ()
     b1 = (latents.shape[0],) + (1,) * (latents.ndim - 1)
@@ -286,7 +358,8 @@ def init_solver_state(kind: str, latents):
     }
 
 
-def step_s(kind: str, sigma, sigma_next, model_output, sample, state):
+def step_s(kind: str, sigma, sigma_next, model_output, sample, state,
+           prediction_type: str = "epsilon"):
     """State-carrying reverse step: returns ``(new_sample, new_state)``.
 
     euler/ddim delegate to ``step_c`` with an empty state. dpm++ is the
@@ -303,11 +376,31 @@ def step_s(kind: str, sigma, sigma_next, model_output, sample, state):
     sigma/sigma_next may be scalars (lockstep scan) or (B,1,1,1) per-row
     constants (chunked runner); both broadcast against the state.
     """
+    if kind == "euler_a":
+        # Euler-ancestral (k-diffusion sample_euler_ancestral / diffusers
+        # EulerAncestralDiscreteScheduler, beyond the reference): the
+        # deterministic euler move to sigma_down plus fresh noise at
+        # sigma_up, with sigma_down² + sigma_up² = sigma_next². The final
+        # sigma_next == 0 step is noise-free and lands on the denoised x0.
+        dtype = sample.dtype
+        s32 = sample.astype(jnp.float32)
+        eps = to_epsilon(kind, sigma, model_output, sample,
+                         prediction_type).astype(jnp.float32)
+        sig = jnp.asarray(sigma, jnp.float32)
+        sig_n = jnp.asarray(sigma_next, jnp.float32)
+        var_up = sig_n**2 * (sig**2 - sig_n**2) / sig**2
+        sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sig_n**2 - var_up, 0.0))
+        out = s32 + eps * (sigma_down - sig)
+        key, sub = jax.random.split(state["key"])
+        z = jax.random.normal(sub, sample.shape, jnp.float32)
+        return (out + sigma_up * z).astype(dtype), {"key": key}
     if kind != "dpm++":
-        return step_c(kind, sigma, sigma_next, model_output, sample), state
+        return step_c(kind, sigma, sigma_next, model_output, sample,
+                      prediction_type), state
     dtype = sample.dtype
     s32 = sample.astype(jnp.float32)
-    eps = model_output.astype(jnp.float32)
+    eps = to_epsilon(kind, sigma, model_output, sample, prediction_type).astype(jnp.float32)
     sig = jnp.asarray(sigma, jnp.float32)
     sig_n = jnp.asarray(sigma_next, jnp.float32)
 
@@ -388,29 +481,47 @@ def img2img_skip_steps(num_steps: int, strength: float) -> int:
     return max(num_steps - init_steps, 0)
 
 
+def noise_to_level(kind: str, level, image_latents, noise):
+    """q(x_level | x0) at one schedule entry, at the kind's storage scale
+    (VE for euler, VP for dpm++; for ddim ``level`` is the alpha-cumprod).
+    level == 0 sigma (euler/dpm++) or alpha == 1 (ddim) returns the clean
+    latents exactly. Used by img2img (initial noising) and inpainting
+    (re-noising the kept region to each step's level)."""
+    x = image_latents.astype(jnp.float32)
+    eps = noise.astype(jnp.float32)
+    if kind in ("euler", "euler_a"):
+        return x + level * eps
+    if kind == "dpm++":
+        alpha = 1.0 / jnp.sqrt(jnp.asarray(level, jnp.float32) ** 2 + 1.0)
+        return alpha * (x + level * eps)
+    # ddim: level is an alpha-cumprod
+    a = jnp.asarray(level, jnp.float32)
+    return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * eps
+
+
 def img2img_init(schedule: Schedule, image_latents, noise):
     """Noise scaled image latents to the schedule's FIRST step — the
     img2img starting point (diffusers scheduler.add_noise at
     timesteps[t_start]); pass the result as generate(latents=...) would be,
     at the storage scale of the schedule's kind (VE for euler, VP for
     dpm++/ddim)."""
-    x = image_latents.astype(jnp.float32)
-    eps = noise.astype(jnp.float32)
-    if schedule.kind == "euler":
-        return x + schedule.sigmas[0] * eps
-    if schedule.kind == "dpm++":
-        sig = schedule.sigmas[0]
-        alpha = 1.0 / jnp.sqrt(sig**2 + 1.0)
-        return alpha * (x + sig * eps)
-    # ddim: sigmas entries are alpha-cumprods
-    a = schedule.sigmas[0]
-    return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * eps
+    return noise_to_level(schedule.kind, schedule.sigmas[0], image_latents, noise)
 
 
 def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConfig(),
          *, denoising_end=None, denoising_start=None, skip_steps: int = 0) -> Schedule:
     if kind == "euler":
         s = euler_schedule(num_steps, cfg)
+    elif kind in ("euler_a", "euler_ancestral"):
+        # same grid/init-sigma rules as euler (diffusers
+        # EulerAncestralDiscreteScheduler shares EulerDiscrete's
+        # set_timesteps; it ships no karras option)
+        if cfg.use_karras_sigmas:
+            raise ValueError("use_karras_sigmas is not supported for euler_a "
+                             "(matching diffusers EulerAncestralDiscreteScheduler)")
+        e = euler_schedule(num_steps, cfg)
+        s = Schedule(kind="euler_a", timesteps=e.timesteps, sigmas=e.sigmas,
+                     init_noise_sigma=e.init_noise_sigma)
     elif kind == "ddim":
         s = ddim_schedule(num_steps, cfg)
     elif kind in ("dpm++", "dpmpp"):

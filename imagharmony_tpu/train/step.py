@@ -36,6 +36,13 @@ class TrainConfig:
     weight_decay: float = 1e-2
     noise_offset: Optional[float] = None
     num_train_timesteps: int = 1000
+    # loss target parametrization: "epsilon" (reference train.py:688) |
+    # "v_prediction" (SD2.x-style; target = sched.velocity_target) |
+    # "sample" (target = the clean latents)
+    prediction_type: str = "epsilon"
+    # zero terminal SNR beta rescale for v-prediction training
+    # (arXiv 2305.08891 §3.1)
+    rescale_zero_snr: bool = False
     train_image_proj: bool = False  # reference excludes it (train.py:600)
     max_grad_norm: Optional[float] = None
     gradient_checkpoint: bool = True
@@ -175,7 +182,10 @@ def loss_fn(
         )
     sg = jax.lax.stop_gradient
     r_noise, r_t, r_lat, r_off = jax.random.split(rng, 4)
-    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig(
+        prediction_type=tcfg.prediction_type,
+        rescale_betas_zero_snr=tcfg.rescale_zero_snr,
+    ))
 
     cached = "context" in batch  # precomputed-encoder batches (train/cache.py)
     if cached and cfgs.proj_kind != "image_proj":
@@ -264,10 +274,16 @@ def loss_fn(
         _unet_fwd = jax.checkpoint(
             _unet_fwd, policy=jax.checkpoint_policies.nothing_saveable
         )
-    eps_pred = _unet_fwd(
+    pred = _unet_fwd(
         params["unet"], noisy, timesteps, context, pooled, time_ids, ip_tokens
     )
-    loss = jnp.mean((eps_pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+    if tcfg.prediction_type == "v_prediction":
+        target = sched.velocity_target(acp, latents, noise, timesteps)
+    elif tcfg.prediction_type == "sample":
+        target = latents
+    else:
+        target = noise
+    loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
     return loss
 
 

@@ -46,6 +46,13 @@ def parse_args(argv=None):
     p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--noise_offset", type=float, default=None)
+    p.add_argument("--prediction_type", default="epsilon",
+                   choices=["epsilon", "v_prediction", "sample"],
+                   help="loss target parametrization (v_prediction for "
+                        "SD2.x-style fine-tunes)")
+    p.add_argument("--zero_snr", action="store_true",
+                   help="zero terminal SNR beta rescale during the forward "
+                        "process (arXiv 2305.08891; for v_prediction)")
     # beyond the reference's constant-lr / no-accum / no-EMA loop
     # (reference train.py:600-601, 620-710)
     p.add_argument("--grad_accum", type=int, default=1,
@@ -186,6 +193,8 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
         noise_offset=args.noise_offset,
+        prediction_type=args.prediction_type,
+        rescale_zero_snr=args.zero_snr,
         train_image_proj=args.train_image_proj,
         unet_cfg=cfgs.unet,  # masks weight decay off inert IP projections
         grad_accum=args.grad_accum,

@@ -297,3 +297,210 @@ def test_karras_sigmas():
     np.testing.assert_array_equal(np.asarray(kd.sigmas), ks)
     with pytest.raises(ValueError, match="karras"):
         sched.make("ddim", 10, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Prediction types (v_prediction / sample — SD2.x-style models) + zero
+# terminal SNR (arXiv 2305.08891 §3.1)
+# ---------------------------------------------------------------------------
+
+
+def _vp_coeffs(kind, const):
+    """(a, s) with x_vp = a·x0 + s·eps for the step constant of each kind."""
+    if kind == "ddim":
+        return np.sqrt(const), np.sqrt(1.0 - const)
+    alpha = 1.0 / np.sqrt(const**2 + 1.0)
+    return alpha, const * alpha
+
+
+def test_prediction_type_step_identities():
+    """A v/sample prediction derived from (x, eps) must produce the exact
+    same step as the epsilon prediction — pure parametrization changes."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    eps = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    cases = [
+        ("euler", 6.0, 2.5),
+        ("euler", 0.4, 0.1),
+        ("ddim", 0.8, 0.95),   # (alpha_t, alpha_prev)
+        ("ddim", 0.1, 0.4),
+        ("dpm++", 6.0, 2.5),
+        ("dpm++", 0.4, 0.1),
+    ]
+    for kind, c, c_next in cases:
+        a, s = _vp_coeffs(kind, c)
+        if kind == "euler":
+            x0 = x - c * eps                      # VE storage
+        elif kind == "dpm++":
+            x0 = x * np.sqrt(c**2 + 1.0) - c * eps  # VP storage
+        else:
+            x0 = (x - s * eps) / a
+        v = a * eps - s * x0
+
+        st = sched.init_solver_state(kind, jnp.asarray(x))
+        ref, _ = sched.step_s(kind, c, c_next, jnp.asarray(eps), jnp.asarray(x), st)
+        for pred, m in (("v_prediction", v), ("sample", x0)):
+            st = sched.init_solver_state(kind, jnp.asarray(x))
+            out, _ = sched.step_s(
+                kind, c, c_next, jnp.asarray(m), jnp.asarray(x), st, pred
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5,
+                err_msg=f"{kind}/{pred}",
+            )
+    # dpm++ second-order step: run two steps so history engages
+    kind = "dpm++"
+    st_e = sched.init_solver_state(kind, jnp.asarray(x))
+    st_v = sched.init_solver_state(kind, jnp.asarray(x))
+    xe, xv = jnp.asarray(x), jnp.asarray(x)
+    for c, c_next in ((8.0, 4.0), (4.0, 1.5)):
+        a, s = _vp_coeffs(kind, c)
+        x0e = np.asarray(xe) * np.sqrt(c**2 + 1.0) - c * eps
+        ve = a * eps - s * x0e
+        x0v = np.asarray(xv) * np.sqrt(c**2 + 1.0) - c * eps
+        vv = a * eps - s * x0v
+        del x0v  # same x as xe on the first iteration; diverges only by error
+        xe, st_e = sched.step_s(kind, c, c_next, jnp.asarray(eps), xe, st_e)
+        xv, st_v = sched.step_s(kind, c, c_next, jnp.asarray(vv), xv, st_v, "v_prediction")
+        del ve
+    np.testing.assert_allclose(np.asarray(xv), np.asarray(xe), rtol=1e-4, atol=1e-5)
+
+
+def test_zero_terminal_snr_rescale():
+    """rescale_betas_zero_snr: last alpha-cumprod exactly 0, first pinned;
+    euler sigmas stay finite (diffusers' 2^-24 substitution)."""
+    cfg = sched.NoiseScheduleConfig(rescale_betas_zero_snr=True)
+    acp = sched.alphas_cumprod(cfg)
+    base = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+    assert acp[-1] == 0.0
+    np.testing.assert_allclose(acp[0], base[0], rtol=1e-6)
+    assert (np.diff(acp) < 0).all()
+
+    s = sched.euler_schedule(
+        10, sched.NoiseScheduleConfig(
+            rescale_betas_zero_snr=True, timestep_spacing="trailing"
+        )
+    )
+    assert np.isfinite(np.asarray(s.sigmas)).all()
+    assert float(s.sigmas[0]) > 1000  # sigma at SNR ~2^-24 is huge
+
+
+def test_zero_snr_vpred_ddim_chain():
+    """The zero-SNR + trailing + v-prediction combination (the arXiv
+    2305.08891 recipe): at t=999 alpha==0, x_t IS the noise, and a perfect
+    v model still recovers x0 through the division-free DDIM chain."""
+    cfg = sched.NoiseScheduleConfig(
+        rescale_betas_zero_snr=True, timestep_spacing="trailing",
+        set_alpha_to_one=True,
+    )
+    acp = sched.alphas_cumprod(cfg)
+    s = sched.ddim_schedule(10, cfg)
+    assert float(s.sigmas[0]) == 0.0  # trailing includes t=999 → SNR 0
+
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 4, 4)).astype(np.float32)
+    x = jnp.asarray(eps)  # x_999 = 0·x0 + 1·eps
+    sa = np.asarray(s.sigmas)
+    for i in range(s.num_steps):
+        a, sg = np.sqrt(sa[i]), np.sqrt(1.0 - sa[i])
+        v = a * eps - sg * x0
+        x = sched.step(s, i, jnp.asarray(v), x, "v_prediction")
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-3, atol=1e-3)
+
+
+def test_to_epsilon_finite_at_snr_zero():
+    """v-prediction conversion is division-free: at alpha_cumprod == 0 the
+    implied epsilon is the sample itself and x0 == -v."""
+    x = jnp.full((1, 2, 2, 4), 3.0)
+    v = jnp.full((1, 2, 2, 4), 0.5)
+    eps = sched.to_epsilon("ddim", 0.0, v, x, "v_prediction")
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(x), atol=1e-6)
+    out = sched.step_c("ddim", 0.0, 0.9, v, x, "v_prediction")
+    expect = np.sqrt(0.9) * (-np.asarray(v, np.float32)) + np.sqrt(0.1) * np.asarray(x, np.float32)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Euler-ancestral (euler_a — k-diffusion sample_euler_ancestral / diffusers
+# EulerAncestralDiscreteScheduler, beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_euler_a_schedule_shares_euler_grid():
+    import pytest
+    import jax
+
+    e = sched.make("euler", 10)
+    a = sched.make("euler_a", 10)
+    assert a.kind == "euler_a"
+    np.testing.assert_array_equal(np.asarray(a.timesteps), np.asarray(e.timesteps))
+    np.testing.assert_array_equal(np.asarray(a.sigmas), np.asarray(e.sigmas))
+    assert float(a.init_noise_sigma) == float(e.init_noise_sigma)
+    # no karras option (matching diffusers EulerAncestralDiscreteScheduler)
+    with pytest.raises(ValueError, match="karras"):
+        sched.make("euler_a", 10,
+                   sched.NoiseScheduleConfig(use_karras_sigmas=True))
+    # stochastic kind: the stateless step and a key-less state are rejected
+    x = jnp.zeros((1, 2, 2, 4), jnp.float32)
+    with pytest.raises(ValueError, match="euler_a"):
+        sched.step_c("euler_a", 2.0, 1.0, x, x)
+    with pytest.raises(ValueError, match="rng"):
+        sched.init_solver_state("euler_a", x)
+    del jax
+
+
+def test_euler_a_step_math():
+    """One ancestral step == euler move to sigma_down plus fresh noise at
+    sigma_up (independent numpy recomputation of the k-diffusion formulas,
+    with the draw replayed from the same key); the final sigma_next == 0
+    step is noise-free and lands exactly on the denoised x0."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    eps = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    sig, sig_n = 6.0, 2.5
+    key = jax.random.PRNGKey(42)
+
+    st = sched.init_solver_state("euler_a", jnp.asarray(x), key)
+    out, st2 = sched.step_s("euler_a", sig, sig_n, jnp.asarray(eps),
+                            jnp.asarray(x), st)
+
+    var_up = sig_n**2 * (sig**2 - sig_n**2) / sig**2
+    sigma_up = np.sqrt(var_up)
+    sigma_down = np.sqrt(sig_n**2 - var_up)
+    k2, sub = jax.random.split(key)
+    z = np.asarray(jax.random.normal(sub, x.shape, jnp.float32))
+    expect = x + eps * (sigma_down - sig) + sigma_up * z
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2["key"]), np.asarray(k2))
+
+    # determinism given the key; a different key draws different noise
+    st = sched.init_solver_state("euler_a", jnp.asarray(x), key)
+    again, _ = sched.step_s("euler_a", sig, sig_n, jnp.asarray(eps),
+                            jnp.asarray(x), st)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(out))
+    st_b = sched.init_solver_state("euler_a", jnp.asarray(x),
+                                   jax.random.PRNGKey(43))
+    other, _ = sched.step_s("euler_a", sig, sig_n, jnp.asarray(eps),
+                            jnp.asarray(x), st_b)
+    assert not np.array_equal(np.asarray(other), np.asarray(out))
+
+    # final step: sigma_next == 0 → sigma_up == 0, lands on the denoised x0
+    st = sched.init_solver_state("euler_a", jnp.asarray(x), key)
+    final, _ = sched.step_s("euler_a", sig, 0.0, jnp.asarray(eps),
+                            jnp.asarray(x), st)
+    np.testing.assert_allclose(np.asarray(final), x - sig * eps,
+                               rtol=1e-5, atol=1e-6)
+
+    # v-prediction parametrization produces the identical step (same key):
+    # with VP coefficients a = alpha, s = sig·alpha, v = a·eps − s·x0
+    alpha = 1.0 / np.sqrt(sig**2 + 1.0)
+    x0 = x - sig * eps
+    v = alpha * eps - (sig * alpha) * x0
+    st = sched.init_solver_state("euler_a", jnp.asarray(x), key)
+    out_v, _ = sched.step_s("euler_a", sig, sig_n, jnp.asarray(v),
+                            jnp.asarray(x), st, "v_prediction")
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)

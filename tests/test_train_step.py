@@ -245,3 +245,57 @@ def test_dp_sharded_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1["trainable"]), jax.tree.leaves(s8["trainable"])):
         if a is not None:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_vpred_training_target():
+    """prediction_type="v_prediction" (SD2.x-style, beyond the reference):
+    the loss targets sched.velocity_target instead of the noise — a
+    different, finite loss whose gradients land on the same trainable
+    surface; zero-SNR rescale composes."""
+    from imagharmony_tpu.schedulers import diffusion as sched
+
+    cfgs = comp.tiny_configs()
+    params = comp.init_params(jax.random.PRNGKey(0), cfgs)
+    batch = None
+    losses = {}
+    for pred in ("epsilon", "v_prediction", "sample"):
+        tcfg = train_step_lib.TrainConfig(
+            learning_rate=1e-3, gradient_checkpoint=False,
+            prediction_type=pred,
+            rescale_zero_snr=(pred == "v_prediction"),
+        )
+        state, frozen = train_step_lib.init_state(params, tcfg)
+        if batch is None:
+            batch = train_step_lib.dummy_batch(cfgs)
+        step_fn = jax.jit(train_step_lib.make_train_step(cfgs, tcfg, policy=FP32))
+        rng = jax.random.PRNGKey(7)
+        state, metrics = step_fn(state, frozen, batch, rng)
+        losses[pred] = float(metrics["loss"])
+        assert np.isfinite(losses[pred]), pred
+        # the update moved the adapters (grads flow for every target)
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(state["trainable"]),
+                jax.tree.leaves(train_step_lib.init_state(params, tcfg)[0]["trainable"]),
+            )
+            if a is not None
+        )
+        assert moved, pred
+    # different parametrization → different loss surface
+    assert losses["epsilon"] != losses["v_prediction"] != losses["sample"]
+    # forward-process identity: alpha*x_t - sigma_vp*v == x0 on the
+    # rescaled schedule too
+    acp = sched.alphas_cumprod(
+        sched.NoiseScheduleConfig(rescale_betas_zero_snr=True))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+    t = jnp.array([999, 400])
+    xt = sched.add_noise(acp, x0, eps, t)
+    v = sched.velocity_target(acp, x0, eps, t)
+    a = jnp.sqrt(jnp.take(jnp.asarray(acp), t)).reshape(-1, 1, 1, 1)
+    s = jnp.sqrt(1.0 - jnp.take(jnp.asarray(acp), t)).reshape(-1, 1, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(a * xt - s * v), np.asarray(x0), atol=1e-5
+    )
