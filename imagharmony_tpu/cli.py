@@ -47,7 +47,9 @@ def _add_edit_args(p):
     p.add_argument("--init-image", default=None,
                    help="img2img: start from this image noised to "
                         "--strength of the schedule instead of pure noise")
-    p.add_argument("--strength", type=float, default=0.8,
+    p.add_argument("--mask-image", default=None,
+                   help="inpaint mask (white = repaint); requires --init-image")
+    p.add_argument("--strength", type=float, default=None,
                    help="img2img strength in (0,1]: fraction of the "
                         "schedule actually denoised (diffusers semantics)")
     p.add_argument("--scale", type=float, default=1.0)
@@ -57,7 +59,7 @@ def _add_edit_args(p):
     p.add_argument("--num-samples", type=int, default=1)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
-    p.add_argument("--scheduler", default="euler", choices=["euler", "ddim", "dpm++"])
+    p.add_argument("--scheduler", default="euler", choices=["euler", "euler_a", "ddim", "dpm++"])
     p.add_argument("--fast", action="store_true",
                    help="latency preset: 15 steps + trailing timestep spacing "
                         "(arXiv 2305.08891; changes outputs vs the 30-step default)")
@@ -67,6 +69,14 @@ def _add_edit_args(p):
                         "changes outputs; composes with --fast)")
     p.add_argument("--timestep-spacing", default=None,
                    choices=["leading", "trailing", "linspace"])
+    p.add_argument("--prediction-type", default="epsilon",
+                   choices=["epsilon", "v_prediction", "sample"],
+                   help="UNet output parametrization (v_prediction for "
+                        "SD2.x-style models)")
+    p.add_argument("--zero-snr", action="store_true",
+                   help="zero terminal SNR beta rescale (arXiv 2305.08891; "
+                        "pair with --prediction-type v_prediction and "
+                        "--timestep-spacing trailing)")
     p.add_argument("--karras", action="store_true",
                    help="Karras rho=7 sigma spacing (arXiv 2206.00364; "
                         "euler/dpm++ only — diffusers use_karras_sigmas)")
@@ -124,7 +134,9 @@ def cmd_edit(args):
         control_image=(Image.open(args.control_image) if args.control_image else None),
         init_image=(Image.open(args.init_image)
                     if getattr(args, "init_image", None) else None),
-        strength=getattr(args, "strength", 0.8),
+        mask_image=(Image.open(args.mask_image)
+                    if getattr(args, "mask_image", None) else None),
+        strength=getattr(args, "strength", None),
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,
         extra_text=args.extra_text,
@@ -133,6 +145,8 @@ def cmd_edit(args):
         num_inference_steps=steps,
         timestep_spacing=spacing,
         use_karras_sigmas=getattr(args, "karras", False),
+        prediction_type=getattr(args, "prediction_type", "epsilon"),
+        rescale_zero_snr=getattr(args, "zero_snr", False),
         seed=args.seed,
         num_samples=args.num_samples,
         height=args.height,
@@ -173,6 +187,8 @@ def cmd_demo(args):
     else:
         rng = np.random.default_rng(args.seed)
         ref = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    from PIL import Image
+
     t0 = time.time()
     out = pipe.generate(
         pil_image=ref,
@@ -183,6 +199,18 @@ def cmd_demo(args):
         width=args.width,
         seed=args.seed,
         scale=args.scale,
+        scheduler=args.scheduler,
+        guidance_scale=args.guidance_scale,
+        timestep_spacing=args.timestep_spacing or "leading",
+        use_karras_sigmas=getattr(args, "karras", False),
+        prediction_type=getattr(args, "prediction_type", "epsilon"),
+        rescale_zero_snr=getattr(args, "zero_snr", False),
+        init_image=(Image.open(args.init_image)
+                    if getattr(args, "init_image", None) else None),
+        mask_image=(Image.open(args.mask_image)
+                    if getattr(args, "mask_image", None) else None),
+        strength=getattr(args, "strength", None),
+        encoder_interval=2 if getattr(args, "turbo", False) else 1,
         output_type="pil",
     )
     out[0].save(args.output)
@@ -314,6 +342,8 @@ def main(argv=None):
     p_par.add_argument("--steps", type=int, default=8)
     p_par.add_argument("--size", type=int, default=256)
     p_par.add_argument("--seed", type=int, default=0)
+    # parity compares against diffusers step-by-step — deterministic
+    # schedulers only (euler_a's ancestral draws use a different rng)
     p_par.add_argument("--scheduler", default="euler", choices=["euler", "ddim", "dpm++"])
     p_par.add_argument("--target", type=float, default=0.999)
 

@@ -71,9 +71,7 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, solver_state, bundle, *,
     per step (per-row control images, CFG-duplicated like the other rows).
     """
     schedule = sched.make(
-        opts.scheduler, opts.num_inference_steps,
-        sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing,
-                                  use_karras_sigmas=opts.use_karras),
+        opts.scheduler, opts.num_inference_steps, he.sched_config(opts),
         denoising_end=opts.denoising_end,
     )
     n = schedule.num_steps
@@ -144,7 +142,7 @@ def _chunk_jit(params, cfgs, opts, latents, step_idx, solver_state, bundle, *,
         if opts.guidance_rescale > 0.0:
             eps_g = he.rescale_noise_cfg(eps_g, eps_c, opts.guidance_rescale)
         stepped, st_new = sched.step_s(
-            kind, r1(sig), r1(sig_n), eps_g, lat, st
+            kind, r1(sig), r1(sig_n), eps_g, lat, st, opts.prediction_type
         )
         lat = jnp.where(r1(active), stepped, lat)
         st = jax.tree.map(
@@ -275,9 +273,7 @@ class SlotEngine:
         self.num_slots = slots
         self.chunk = chunk
         _schedule = sched.make(
-            opts.scheduler, opts.num_inference_steps,
-            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing,
-                                  use_karras_sigmas=opts.use_karras),
+            opts.scheduler, opts.num_inference_steps, he.sched_config(opts),
             denoising_end=opts.denoising_end,
         )
         self.num_steps = _schedule.num_steps
@@ -358,9 +354,7 @@ class SlotEngine:
         else:
             noise = jnp.asarray(noise, jnp.float32)
         schedule = sched.make(
-            opts.scheduler, opts.num_inference_steps,
-            sched.NoiseScheduleConfig(timestep_spacing=opts.timestep_spacing,
-                                  use_karras_sigmas=opts.use_karras),
+            opts.scheduler, opts.num_inference_steps, he.sched_config(opts),
             denoising_end=opts.denoising_end,
         )
         lat1 = (noise * schedule.init_noise_sigma).astype(pipe.policy.compute_dtype)

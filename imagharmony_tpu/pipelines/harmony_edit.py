@@ -93,6 +93,13 @@ class EditOptions:
     # UNet encoder every k-th step only, reuse its features in between.
     # 1 = exact (default); >1 changes outputs — gated behind --turbo.
     encoder_interval: int = 1
+    # UNet output parametrization: "epsilon" (SDXL/SD1.5) | "v_prediction"
+    # (SD2.x-style models) | "sample". Converted to epsilon inside the
+    # scheduler step (schedulers/diffusion.to_epsilon).
+    prediction_type: str = "epsilon"
+    # zero terminal SNR beta rescale (arXiv 2305.08891 §3.1) — for
+    # v-prediction models trained with it; pair with trailing spacing
+    rescale_zero_snr: bool = False
 
     def time_ids(self, negative=False):
         osz = self.original_size or (self.height, self.width)
@@ -113,6 +120,30 @@ def rescale_noise_cfg(eps_cfg, eps_text, rescale):
     std_cfg = jnp.std(eps_cfg.astype(jnp.float32), axis=axes, keepdims=True)
     rescaled = eps_cfg * (std_text / jnp.maximum(std_cfg, 1e-8)).astype(eps_cfg.dtype)
     return rescale * rescaled + (1.0 - rescale) * eps_cfg
+
+
+def sched_config(opts: EditOptions) -> sched.NoiseScheduleConfig:
+    """The NoiseScheduleConfig an EditOptions implies (single source of
+    truth for the one-jit, chunked and serving paths)."""
+    return sched.NoiseScheduleConfig(
+        timestep_spacing=opts.timestep_spacing,
+        use_karras_sigmas=opts.use_karras,
+        prediction_type=opts.prediction_type,
+        rescale_betas_zero_snr=opts.rescale_zero_snr,
+    )
+
+
+def ancestral_key(scheduler: str, seeds):
+    """Host-side PRNG key for euler_a's per-step ancestral noise, derived
+    from the run's seed(s) on a stream disjoint from the init-noise draw
+    (a fixed tag folded into the seed key). None for the deterministic
+    schedulers — the jit signature then carries no key operand."""
+    if scheduler not in ("euler_a", "euler_ancestral"):
+        return None
+    k = jax.random.PRNGKey(int(seeds[0]))
+    for s_ in seeds[1:]:
+        k = jax.random.fold_in(k, int(s_))
+    return jax.random.fold_in(k, 0xA9CE57)
 
 
 def ip_scale_schedule(opts: EditOptions) -> np.ndarray:
@@ -233,6 +264,9 @@ def denoise(
     guidance_rescale=0.0,
     controlnet=None,
     encoder_interval: int = 1,
+    prediction_type: str = "epsilon",
+    inpaint=None,
+    ancestral_rng=None,
     policy,
     backend=None,
 ):
@@ -246,10 +280,18 @@ def denoise(
     encoder_interval > 1 enables encoder propagation (Faster Diffusion,
     arXiv 2312.09608): the UNet encoder (+ ControlNet branch) runs only at
     every ``encoder_interval``-th step and its features are reused in
-    between — an output-changing approximation, gated behind --turbo."""
+    between — an output-changing approximation, gated behind --turbo.
+
+    inpaint: optional (mask, image_latents, noise) — masked editing
+    (diffusers InpaintPipeline latent-blend semantics, beyond the
+    reference): after every scheduler step the kept region (mask == 0) is
+    replaced by the init image's latents re-noised to the NEXT step's
+    level with the run's initial noise; the final step blends the clean
+    latents. mask is (B, h, w, 1) float {0 = keep, 1 = repaint}."""
     b = latents.shape[0]
     xs = sched.scan_constants(schedule) + (jnp.asarray(ip_scales),)
     kind = schedule.kind
+    xs = xs + (_inpaint_blend_levels(schedule),)
 
     if encoder_interval > 1:
         return _denoise_encoder_prop(
@@ -257,12 +299,14 @@ def denoise(
             ip_tokens, schedule, ip_scales,
             guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
             controlnet=controlnet, encoder_interval=encoder_interval,
+            prediction_type=prediction_type, inpaint=inpaint,
+            ancestral_rng=ancestral_rng,
             policy=policy, backend=backend,
         )
 
     def body(carry, x):
         lat, solver_state = carry
-        t, sigma, sigma_next, ip_s = x
+        t, sigma, sigma_next, ip_s, blend_lv = x
         lat_in = jnp.concatenate([lat, lat], axis=0)
         lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
         down_res = mid_res = None
@@ -296,20 +340,45 @@ def denoise(
         if guidance_rescale > 0.0:
             eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
         lat, solver_state = sched.step_s(
-            kind, sigma, sigma_next, eps_g, lat, solver_state
+            kind, sigma, sigma_next, eps_g, lat, solver_state, prediction_type
         )
+        if inpaint is not None:
+            lat = _inpaint_blend(kind, blend_lv, lat, inpaint)
         return (lat, solver_state), ()
 
     (latents, _), _ = jax.lax.scan(
-        body, (latents, sched.init_solver_state(kind, latents)), xs
+        body, (latents, sched.init_solver_state(kind, latents, ancestral_rng)), xs
     )
     return latents
+
+
+def _inpaint_blend_levels(schedule: sched.Schedule):
+    """Per-step re-noise levels for the inpaint blend: the NEXT step's
+    schedule entry, except the final step blends the CLEAN init latents
+    (diffusers InpaintPipeline: the last blend uses init_latents, not
+    add_noise). Clean == sigma 0 for euler/dpm++, alpha-cumprod 1 for ddim
+    (noise_to_level returns the latents exactly at those values)."""
+    clean = 1.0 if schedule.kind == "ddim" else 0.0
+    tail = schedule.sigmas[1:]
+    if schedule.num_steps == 0:  # zero-denoise img2img (strength < 1/n)
+        return tail
+    return tail.at[-1].set(clean)
+
+
+def _inpaint_blend(kind, level, lat, inpaint):
+    """mask==1 keeps the denoised value, mask==0 restores the init image's
+    latents re-noised to ``level`` (fp32 blend, cast back)."""
+    mask, img_lat, noise = inpaint
+    keep = sched.noise_to_level(kind, level, img_lat, noise)
+    out = mask * lat.astype(jnp.float32) + (1.0 - mask) * keep
+    return out.astype(lat.dtype)
 
 
 def _denoise_encoder_prop(
     params_unet, unet_cfg, latents, context, pooled, time_ids, ip_tokens,
     schedule, ip_scales, *, guidance_scale, guidance_rescale, controlnet,
-    encoder_interval, policy, backend,
+    encoder_interval, prediction_type="epsilon", inpaint=None,
+    ancestral_rng=None, policy, backend,
 ):
     """Denoise with the UNet encoder evaluated every ``encoder_interval``-th
     step and reused in between (Faster Diffusion, arXiv 2312.09608 — the
@@ -325,6 +394,7 @@ def _denoise_encoder_prop(
     n = schedule.num_steps
     ts_a, sig_a, sign_a = sched.scan_constants(schedule)
     ip_arr = jnp.asarray(ip_scales)
+    blend_arr = _inpaint_blend_levels(schedule)
 
     def eps_at(lat, t, sigma, ip_s, *, enc=None, mid_res=None, want_enc=False):
         """One CFG-pair UNet eval. On key steps (enc is None) the ControlNet
@@ -364,7 +434,8 @@ def _denoise_encoder_prop(
         eps_g = eps_u + guidance_scale * (eps_c - eps_u)
         if guidance_rescale > 0.0:
             eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
-        return sched.step_s(kind, sigma, sigma_next, eps_g, lat, solver_state)
+        return sched.step_s(kind, sigma, sigma_next, eps_g, lat, solver_state,
+                            prediction_type)
 
     enc_s, mid_s = jax.eval_shape(
         lambda lat: eps_at(lat, ts_a[0], sig_a[0], ip_arr[0], want_enc=True),
@@ -386,11 +457,14 @@ def _denoise_encoder_prop(
 
         eps, enc_new, mid_new = jax.lax.cond(is_key, full, reuse, lat)
         lat, solver_state = guide_step(lat, eps, sig, sig_n, solver_state)
+        if inpaint is not None:
+            lat = _inpaint_blend(kind, blend_arr[i], lat, inpaint)
         return (lat, enc_new, mid_new, solver_state), ()
 
     (latents, _, _, _), _ = jax.lax.scan(
         body,
-        (latents, enc, mid_res, sched.init_solver_state(kind, latents)),
+        (latents, enc, mid_res,
+         sched.init_solver_state(kind, latents, ancestral_rng)),
         jnp.arange(n),
     )
     return latents
@@ -409,15 +483,14 @@ def _edit_jit(
     noise,          # (num_samples, h, w, 4)
     control_cond=None,  # (1, Hc, Wc, 3) in [0,1] for the ControlNet branch
     init_pixels=None,   # (1, H, W, 3) in [-1,1] — img2img starting image
+    mask=None,          # (1, h, w, 1) float {0=keep, 1=repaint} — inpainting
+    ancestral_rng=None, # PRNG key for euler_a's per-step noise
     *,
     num_samples: int,
     policy: dtypes.Policy = dtypes.DEFAULT,
     backend: Optional[str] = None,
 ):
-    cfg_sched = sched.NoiseScheduleConfig(
-        timestep_spacing=opts.timestep_spacing,
-        use_karras_sigmas=opts.use_karras,
-    )
+    cfg_sched = sched_config(opts)
     schedule = sched.make(
         opts.scheduler, opts.num_inference_steps, cfg_sched,
         denoising_end=opts.denoising_end, denoising_start=opts.denoising_start,
@@ -445,6 +518,7 @@ def _edit_jit(
         cond2 = jnp.concatenate([cond_rows, cond_rows], axis=0)
         cn = (params["controlnet"], cfgs.controlnet, cond2, opts.controlnet_scale)
 
+    img_lat = None
     if init_pixels is not None:
         # img2img (diffusers Img2ImgPipeline semantics): deterministic VAE
         # posterior mean of the init image, noised to the tail schedule's
@@ -457,16 +531,29 @@ def _edit_jit(
             params["vae"], cfgs.vae, init_pixels, sample=False, policy=enc_policy
         ).astype(jnp.float32)
         img_lat = jnp.repeat(img_lat, noise.shape[0] // img_lat.shape[0], axis=0)
+    if img_lat is not None and not (mask is not None and opts.img2img_skip == 0):
+        # inpainting at strength 1.0 (skip == 0) starts from PURE noise
+        # (diffusers InpaintPipeline is_strength_max); every other init
+        # starts from the noised image latents
         latents = sched.img2img_init(schedule, img_lat, noise)
         latents = latents.astype(policy.compute_dtype)
     else:
         latents = (noise * schedule.init_noise_sigma).astype(policy.compute_dtype)
+    inpaint = None
+    if mask is not None:
+        mask_rows = jnp.repeat(
+            mask.astype(jnp.float32), noise.shape[0] // mask.shape[0], axis=0
+        )
+        inpaint = (mask_rows, img_lat, noise.astype(jnp.float32))
     latents = denoise(
         params["unet"], cfgs.unet, latents, context2, pooled2, time_ids, ip2,
         schedule, ip_scales, guidance_scale=opts.guidance_scale,
         guidance_rescale=opts.guidance_rescale,
         controlnet=cn,
         encoder_interval=opts.encoder_interval,
+        prediction_type=opts.prediction_type,
+        inpaint=inpaint,
+        ancestral_rng=ancestral_rng,
         policy=policy, backend=backend,
     )
 
@@ -533,6 +620,24 @@ def preprocess_init_image(image, height, width):
         image = _Image.fromarray(image.astype(np.uint8))
     arr = np.asarray(image.convert("RGB").resize((width, height)), np.float32)
     return (arr / 127.5 - 1.0)[None]
+
+
+def preprocess_mask(mask_image, height, width, downscale):
+    """One inpaint mask (PIL, HW/HWC array, or (h, w)/(h, w, 1) float
+    array in [0,1]) → (1, h_lat, w_lat, 1) float32 {0, 1}; white/1 =
+    repaint (diffusers mask convention). Nearest-neighbor to latent
+    resolution, binarized at 0.5."""
+    from PIL import Image as _Image
+
+    hl, wl = height // downscale, width // downscale
+    if isinstance(mask_image, np.ndarray) and mask_image.dtype != np.uint8:
+        arr = np.squeeze(np.asarray(mask_image, np.float32))
+        mask_image = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    if isinstance(mask_image, np.ndarray):
+        mask_image = _Image.fromarray(mask_image)
+    m = mask_image.convert("L").resize((wl, hl), _Image.NEAREST)
+    arr = (np.asarray(m, np.float32) >= 127.5).astype(np.float32)
+    return arr[None, :, :, None]
 
 
 class HarmonyPipeline:
@@ -732,7 +837,8 @@ class HarmonyPipeline:
         denoising_start: Optional[float] = None,
         latents=None,
         init_image=None,
-        strength: float = 0.8,
+        mask_image=None,
+        strength: Optional[float] = None,
         timestep_spacing: str = "leading",
         use_karras_sigmas: bool = False,
         original_size=None,
@@ -745,6 +851,8 @@ class HarmonyPipeline:
         callback_on_step_end=None,
         chunk_steps: Optional[int] = None,
         encoder_interval: int = 1,
+        prediction_type: str = "epsilon",
+        rescale_zero_snr: bool = False,
     ):
         if callback_on_step_end is not None or chunk_steps is not None:
             # progress-callback path: chunked runner (same math, one extra
@@ -757,10 +865,18 @@ class HarmonyPipeline:
                     "refiner-stage inputs (latents=, denoising_start=); use "
                     "the one-jit path for the handoff consumer"
                 )
-            if init_image is not None:
+            if scheduler in ("euler_a", "euler_ancestral"):
+                raise ValueError(
+                    "euler_a is not supported on the chunked/continuous "
+                    "runner (its rows sit at different schedule positions "
+                    "and cannot share one ancestral-noise key stream); use "
+                    "the one-jit path"
+                )
+            if init_image is not None or mask_image is not None:
                 raise ValueError(
                     "callback_on_step_end/chunk_steps does not support "
-                    "img2img (init_image=); use the one-jit path"
+                    "img2img/inpainting (init_image=/mask_image=); use the "
+                    "one-jit path"
                 )
             return continuous.generate_chunked(
                 self, pil_image=pil_image, prompt=prompt,
@@ -781,6 +897,8 @@ class HarmonyPipeline:
                 controlnet_scale=controlnet_conditioning_scale,
                 denoising_end=denoising_end,
                 encoder_interval=encoder_interval,
+                prediction_type=prediction_type,
+                rescale_zero_snr=rescale_zero_snr,
                 original_size=tuple(original_size) if original_size else None,
                 crops_coords_top_left=tuple(crops_coords_top_left),
                 target_size=tuple(target_size) if target_size else None,
@@ -795,7 +913,15 @@ class HarmonyPipeline:
         negative_prompt = negative_prompt or DEFAULT_NEGATIVE
 
         init_pixels = None
+        mask = None
         img2img_skip = 0
+        if mask_image is not None and init_image is None:
+            raise ValueError("mask_image= requires init_image= (the image "
+                             "whose unmasked region is kept)")
+        if strength is None:
+            # img2img defaults to diffusers' 0.8; inpainting to a full
+            # repaint of the masked region (diffusers InpaintPipeline ~1.0)
+            strength = 1.0 if mask_image is not None else 0.8
         if init_image is not None:
             # img2img (beyond the reference; diffusers Img2ImgPipeline
             # get_timesteps semantics): start from the init image noised
@@ -809,6 +935,10 @@ class HarmonyPipeline:
             init_pixels = jnp.asarray(
                 preprocess_init_image(init_image, height, width)
             )
+        if mask_image is not None:
+            mask = jnp.asarray(preprocess_mask(
+                mask_image, height, width, self.cfgs.vae.downscale
+            ))
 
         if pixel_values is None:
             pixel_values = clip_vision.preprocess_numpy(
@@ -852,6 +982,8 @@ class HarmonyPipeline:
             return_latents=output_type == "latent",
             batched_decode=self._use_batched_decode(num_samples),
             encoder_interval=encoder_interval,
+            prediction_type=prediction_type,
+            rescale_zero_snr=rescale_zero_snr,
         )
 
         down = self.cfgs.vae.downscale
@@ -887,9 +1019,22 @@ class HarmonyPipeline:
         noise, ids, pixel_values, control_cond, init_pixels = self._place_request(
             noise, ids, pixel_values, control_cond, init_pixels
         )
+        anc = ancestral_key(
+            scheduler,
+            list(seed) if isinstance(seed, (list, tuple))
+            else [0 if seed is None else int(seed)],
+        )
+        if getattr(self, "_mesh", None) is not None:
+            from imagharmony_tpu.parallel import mesh as mesh_lib
+
+            repl = mesh_lib.replicated(self._mesh)
+            if mask is not None:
+                mask = jax.device_put(mask, repl)
+            if anc is not None:
+                anc = jax.device_put(anc, repl)
         images = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
-            init_pixels,
+            init_pixels, mask, anc,
             num_samples=num_samples, policy=self.policy, backend=self.backend,
         )
         if output_type == "latent" or denoising_end is not None:
@@ -994,8 +1139,14 @@ class HarmonyPipeline:
         noise, ids, pixel_values, control_cond, _ = self._place_request(
             noise, ids, pixel_values, control_cond
         )
+        anc = ancestral_key(opts.scheduler, seeds)
+        if anc is not None and getattr(self, "_mesh", None) is not None:
+            from imagharmony_tpu.parallel import mesh as mesh_lib
+
+            anc = jax.device_put(anc, mesh_lib.replicated(self._mesh))
         images_out = _edit_jit(
             self.params, self.cfgs, opts, ids, pixel_values, noise, control_cond,
+            None, None, anc,
             num_samples=1, policy=self.policy, backend=self.backend,
         )
         arr = to_uint8(images_out)

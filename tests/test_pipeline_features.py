@@ -416,3 +416,190 @@ def test_karras_sigmas_generate(pipe, ref_image):
     np.testing.assert_array_equal(chunked, one_jit)
     with pytest.raises(ValueError, match="karras"):
         _gen(pipe, ref_image, scheduler="ddim", use_karras_sigmas=True, **kw)
+
+
+def test_prediction_type_generate(pipe, ref_image):
+    """prediction_type="v_prediction" (SD2.x-style parametrization, beyond
+    the reference): runs on every scheduler, deterministic, differs from
+    epsilon, and is bit-equal between the one-jit and chunked paths."""
+    kw = dict(num_inference_steps=4, output_type="np")
+    for schd in ("euler", "ddim", "dpm++"):
+        v = _gen(pipe, ref_image, scheduler=schd,
+                 prediction_type="v_prediction", **kw)
+        base = _gen(pipe, ref_image, scheduler=schd, **kw)
+        assert np.isfinite(v).all()
+        assert not np.array_equal(v, base)
+        again = _gen(pipe, ref_image, scheduler=schd,
+                     prediction_type="v_prediction", **kw)
+        np.testing.assert_array_equal(v, again)
+    chunked = _gen(pipe, ref_image, scheduler="dpm++",
+                   prediction_type="v_prediction", chunk_steps=2, **kw)
+    one_jit = _gen(pipe, ref_image, scheduler="dpm++",
+                   prediction_type="v_prediction", **kw)
+    np.testing.assert_array_equal(chunked, one_jit)
+
+
+def test_zero_snr_vpred_generate(pipe, ref_image):
+    """The arXiv 2305.08891 recipe end-to-end: zero terminal SNR + trailing
+    spacing + v_prediction. The first step sits at SNR exactly 0 (ddim) /
+    sigma ~4096 (euler) and the pipeline stays finite and deterministic."""
+    kw = dict(num_inference_steps=4, output_type="np",
+              timestep_spacing="trailing", prediction_type="v_prediction",
+              rescale_zero_snr=True)
+    for schd in ("euler", "ddim"):
+        out = _gen(pipe, ref_image, scheduler=schd, **kw)
+        assert np.isfinite(out.astype(np.float32)).all()
+        again = _gen(pipe, ref_image, scheduler=schd, **kw)
+        np.testing.assert_array_equal(out, again)
+        assert not np.array_equal(
+            out, _gen(pipe, ref_image, scheduler=schd,
+                      timestep_spacing="trailing",
+                      prediction_type="v_prediction",
+                      num_inference_steps=4, output_type="np"))
+
+
+def test_inpainting(pipe, ref_image):
+    """Masked editing (mask_image=/init_image=, beyond the reference —
+    diffusers InpaintPipeline latent-blend semantics): per-step the kept
+    region is restored from the init image's latents re-noised to the next
+    step's level; the final step blends the clean init latents.
+
+    Invariants: an all-repaint mask at strength 1.0 equals the plain
+    generate bit-for-bit (blend with mask==1 is the identity); an all-keep
+    mask reproduces the init image's VAE round-trip; a half mask keeps the
+    masked half anchored to the round-trip while the other half repaints."""
+    import jax.numpy as jnp
+
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.models import vae
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+    from imagharmony_tpu.pipelines import harmony_edit as he
+
+    rng = np.random.default_rng(9)
+    init = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    kw = dict(num_inference_steps=3, output_type="raw")
+
+    # fp32 clone: the oracle comparisons below are against an fp32 VAE
+    # round-trip (same rationale as test_img2img_strength)
+    pipe32 = HarmonyPipeline(pipe.params, pipe.cfgs, pipe.tokenizers,
+                             policy=dtypes.FP32, backend=pipe.backend)
+    pix = jnp.asarray(he.preprocess_init_image(init, 32, 32))
+    pol = dtypes.Policy(compute_dtype=jnp.float32)
+    lat = vae.encode(pipe.params["vae"], pipe.cfgs.vae, pix, sample=False,
+                     policy=pol).astype(jnp.float32)
+    roundtrip = np.asarray(
+        vae.decode(pipe.params["vae"], pipe.cfgs.vae, lat, policy=pol)
+    )
+
+    ones = np.ones((32, 32), np.float32)
+    for schd in ("euler", "ddim", "dpm++"):
+        # all-repaint at strength 1.0 == the plain pipeline. The blend with
+        # mask==1 is the identity, but its presence in the graph changes
+        # XLA's fusion of the surrounding fp32 ops — compare at 1-ulp
+        # pixel tolerance (measured maxdiff 7.2e-7), not bit-for-bit.
+        full = np.asarray(_gen(pipe32, ref_image, scheduler=schd,
+                               init_image=init, mask_image=ones, **kw))
+        plain = np.asarray(_gen(pipe32, ref_image, scheduler=schd, **kw))
+        np.testing.assert_allclose(full, plain, atol=1e-6)
+
+        # all-keep == the init image's VAE round-trip
+        keep = np.asarray(_gen(pipe32, ref_image, scheduler=schd,
+                               init_image=init, mask_image=0 * ones, **kw))
+        np.testing.assert_allclose(keep, roundtrip, atol=1e-3)
+
+        # half mask, checked in LATENT space (the decoder's receptive field
+        # legitimately spreads the repainted region's influence across the
+        # boundary in pixels — the algorithm's exact contract is on
+        # latents): kept columns == the init latents bit-for-bit (the final
+        # blend restores the CLEAN latents there), repainted columns differ
+        half = ones.copy()
+        half[:, :16] = 0.0  # left half kept → latent columns 0-1
+        lat_np = np.asarray(lat)
+        out_lat = np.asarray(_gen(pipe32, ref_image, scheduler=schd,
+                                  init_image=init, mask_image=half,
+                                  num_inference_steps=3, output_type="latent"))
+        # in-graph VAE encode vs the two-jit oracle encode differ by ~1 ulp
+        # (different XLA fusions of the same fp32 math)
+        np.testing.assert_allclose(out_lat[:, :, :2, :], lat_np[:, :, :2, :],
+                                   atol=1e-6)
+        assert np.abs(out_lat[:, :, 2:, :] - lat_np[:, :, 2:, :]).max() > 0.05
+        # deterministic
+        again = np.asarray(_gen(pipe32, ref_image, scheduler=schd,
+                                init_image=init, mask_image=half,
+                                num_inference_steps=3, output_type="latent"))
+        np.testing.assert_array_equal(out_lat, again)
+
+    # composes with partial strength (img2img start) and with --turbo's
+    # encoder propagation (one-jit path) — same latent-space anchor
+    soft = np.asarray(_gen(pipe32, ref_image, init_image=init,
+                           mask_image=half, strength=0.7,
+                           num_inference_steps=3, output_type="latent"))
+    np.testing.assert_allclose(soft[:, :, :2, :], lat_np[:, :, :2, :], atol=1e-6)
+    turbo = np.asarray(_gen(pipe32, ref_image, init_image=init,
+                            mask_image=half, encoder_interval=2,
+                            num_inference_steps=4, output_type="latent"))
+    assert np.isfinite(turbo).all()
+    np.testing.assert_allclose(turbo[:, :, :2, :], lat_np[:, :, :2, :], atol=1e-6)
+
+    # guards: mask without init image; chunked path
+    with pytest.raises(ValueError, match="init_image"):
+        _gen(pipe, ref_image, mask_image=ones, **kw)
+    with pytest.raises(ValueError, match="chunk_steps"):
+        _gen(pipe, ref_image, init_image=init, mask_image=ones,
+             chunk_steps=2, **kw)
+
+
+def test_preprocess_mask():
+    from imagharmony_tpu.pipelines.harmony_edit import preprocess_mask
+
+    # float array in [0,1], nearest-resized to latent res, binarized
+    m = np.zeros((64, 64), np.float32)
+    m[:, 32:] = 1.0
+    out = preprocess_mask(m, 64, 64, 8)
+    assert out.shape == (1, 8, 8, 1)
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(out[0, :, :4, 0], np.zeros((8, 4)))
+    np.testing.assert_array_equal(out[0, :, 4:, 0], np.ones((8, 4)))
+    # uint8 image path
+    out2 = preprocess_mask((m * 255).astype(np.uint8), 64, 64, 8)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_euler_ancestral_generate(pipe, ref_image):
+    """scheduler="euler_a" (beyond the reference — diffusers
+    EulerAncestralDiscreteScheduler role): stochastic sampler whose
+    ancestral noise stream is derived from the run's seed — deterministic
+    given the seed, different from plain euler at the same seed, and
+    composes with seed lists / generate_batch. Chunked runner and karras
+    sigmas are rejected."""
+    kw = dict(num_inference_steps=4, output_type="np")
+    a = _gen(pipe, ref_image, scheduler="euler_a", **kw)
+    again = _gen(pipe, ref_image, scheduler="euler_a", **kw)
+    np.testing.assert_array_equal(a, again)
+    base = _gen(pipe, ref_image, scheduler="euler", **kw)
+    assert not np.array_equal(a, base)
+    other = _gen(pipe, ref_image, scheduler="euler_a", seed=8, **kw)
+    assert not np.array_equal(a, other)
+
+    # per-sample seed list + img2img compose; turbo (encoder_interval) too
+    init = np.random.default_rng(2).integers(0, 255, (64, 64, 3), np.uint8)
+    ls = _gen(pipe, ref_image, scheduler="euler_a", seed=[3, 4],
+              num_samples=2, init_image=init, strength=0.8, **kw)
+    assert ls.shape[0] == 2 and np.isfinite(ls.astype(np.float32)).all()
+    tb = _gen(pipe, ref_image, scheduler="euler_a", encoder_interval=2, **kw)
+    assert np.isfinite(tb.astype(np.float32)).all()
+    assert not np.array_equal(tb, a)
+
+    # packed batch path carries the ancestral stream too
+    pb = pipe.generate_batch(
+        [ref_image, ref_image], ["a dog", "a cat"],
+        extra_texts=["six dogs", "six cats"], seeds=[3, 4],
+        scheduler="euler_a", height=32, width=32,
+        num_inference_steps=4, output_type="np",
+    )
+    assert pb.shape[0] == 2
+
+    with pytest.raises(ValueError, match="euler_a"):
+        _gen(pipe, ref_image, scheduler="euler_a", chunk_steps=2, **kw)
+    with pytest.raises(ValueError, match="karras"):
+        _gen(pipe, ref_image, scheduler="euler_a", use_karras_sigmas=True, **kw)
