@@ -287,11 +287,28 @@ def denoise(
     reference): after every scheduler step the kept region (mask == 0) is
     replaced by the init image's latents re-noised to the NEXT step's
     level with the run's initial noise; the final step blends the clean
-    latents. mask is (B, h, w, 1) float {0 = keep, 1 = repaint}."""
+    latents. mask is (B, h, w, 1) float {0 = keep, 1 = repaint}.
+
+    guidance_scale <= 1 disables classifier-free guidance entirely
+    (diffusers do_classifier_free_guidance): the uncond rows are sliced
+    away here and every UNet/ControlNet eval runs at batch B instead of
+    2B — the fast path for guidance-distilled/turbo-style checkpoints."""
     b = latents.shape[0]
     xs = sched.scan_constants(schedule) + (jnp.asarray(ip_scales),)
     kind = schedule.kind
     xs = xs + (_inpaint_blend_levels(schedule),)
+
+    use_cfg = guidance_scale > 1.0
+    if not use_cfg:
+        def half(a):
+            return None if a is None else a[a.shape[0] // 2:]
+
+        context, pooled, time_ids, ip_tokens = (
+            half(context), half(pooled), half(time_ids), half(ip_tokens)
+        )
+        if controlnet is not None:
+            cn_p, cn_c, cn_cond, cn_s = controlnet
+            controlnet = (cn_p, cn_c, half(cn_cond), cn_s)
 
     if encoder_interval > 1:
         return _denoise_encoder_prop(
@@ -304,10 +321,12 @@ def denoise(
             policy=policy, backend=backend,
         )
 
+    rows = 2 * b if use_cfg else b
+
     def body(carry, x):
         lat, solver_state = carry
         t, sigma, sigma_next, ip_s, blend_lv = x
-        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
         lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
         down_res = mid_res = None
         if controlnet is not None:
@@ -315,7 +334,7 @@ def denoise(
 
             cn_params, cn_cfg, cn_cond, cn_scale = controlnet
             down_res, mid_res = controlnet_lib.apply(
-                cn_params, cn_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
+                cn_params, cn_cfg, lat_in, jnp.broadcast_to(t, (rows,)),
                 context, cn_cond,
                 pooled_text_embeds=pooled, time_ids=time_ids,
                 conditioning_scale=cn_scale, backend=backend, policy=policy,
@@ -324,7 +343,7 @@ def denoise(
             params_unet,
             unet_cfg,
             lat_in,
-            jnp.broadcast_to(t, (2 * b,)),
+            jnp.broadcast_to(t, (rows,)),
             context,
             pooled_text_embeds=pooled,
             time_ids=time_ids,
@@ -335,10 +354,13 @@ def denoise(
             policy=policy,
             backend=backend,
         )
-        eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
-        if guidance_rescale > 0.0:
-            eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
+        if use_cfg:
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+            if guidance_rescale > 0.0:
+                eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
+        else:
+            eps_g = eps
         lat, solver_state = sched.step_s(
             kind, sigma, sigma_next, eps_g, lat, solver_state, prediction_type
         )
@@ -395,6 +417,8 @@ def _denoise_encoder_prop(
     ts_a, sig_a, sign_a = sched.scan_constants(schedule)
     ip_arr = jnp.asarray(ip_scales)
     blend_arr = _inpaint_blend_levels(schedule)
+    use_cfg = guidance_scale > 1.0  # conditioning pre-sliced by denoise()
+    rows = 2 * b if use_cfg else b
 
     def eps_at(lat, t, sigma, ip_s, *, enc=None, mid_res=None, want_enc=False):
         """One CFG-pair UNet eval. On key steps (enc is None) the ControlNet
@@ -402,7 +426,7 @@ def _denoise_encoder_prop(
         cached ``enc`` already bakes in the down-block residuals, and the
         key-step ``mid_res`` must be re-applied explicitly — the mid-block
         addition happens after the cached encoder point (unet.apply:407)."""
-        lat_in = jnp.concatenate([lat, lat], axis=0)
+        lat_in = jnp.concatenate([lat, lat], axis=0) if use_cfg else lat
         lat_in = sched.scale_model_input_c(kind, sigma, lat_in)
         down_res = None
         if controlnet is not None and enc is None:
@@ -410,13 +434,13 @@ def _denoise_encoder_prop(
 
             cn_params, cn_cfg, cn_cond, cn_scale = controlnet
             down_res, mid_res = controlnet_lib.apply(
-                cn_params, cn_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
+                cn_params, cn_cfg, lat_in, jnp.broadcast_to(t, (rows,)),
                 context, cn_cond, pooled_text_embeds=pooled,
                 time_ids=time_ids, conditioning_scale=cn_scale,
                 backend=backend, policy=policy,
             )
         out = unet.apply(
-            params_unet, unet_cfg, lat_in, jnp.broadcast_to(t, (2 * b,)),
+            params_unet, unet_cfg, lat_in, jnp.broadcast_to(t, (rows,)),
             context, pooled_text_embeds=pooled, time_ids=time_ids,
             ip_tokens=ip_tokens, ip_scale=ip_s,
             down_block_additional_residuals=down_res,
@@ -430,10 +454,13 @@ def _denoise_encoder_prop(
         return out
 
     def guide_step(lat, eps, sigma, sigma_next, solver_state):
-        eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
-        if guidance_rescale > 0.0:
-            eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
+        if use_cfg:
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+            if guidance_rescale > 0.0:
+                eps_g = rescale_noise_cfg(eps_g, eps_c, guidance_rescale)
+        else:
+            eps_g = eps
         return sched.step_s(kind, sigma, sigma_next, eps_g, lat, solver_state,
                             prediction_type)
 

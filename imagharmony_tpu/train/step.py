@@ -43,6 +43,11 @@ class TrainConfig:
     # zero terminal SNR beta rescale for v-prediction training
     # (arXiv 2305.08891 §3.1)
     rescale_zero_snr: bool = False
+    # Min-SNR loss weighting (arXiv 2303.09556): per-sample MSE weighted by
+    # min(SNR_t, gamma)/SNR_t (epsilon) or min(SNR_t, gamma)/(SNR_t + 1)
+    # (v_prediction) — down-weights the low-noise steps that dominate the
+    # unweighted loss. None (default) = uniform, the reference's objective.
+    snr_gamma: Optional[float] = None
     train_image_proj: bool = False  # reference excludes it (train.py:600)
     max_grad_norm: Optional[float] = None
     gradient_checkpoint: bool = True
@@ -283,8 +288,21 @@ def loss_fn(
         target = latents
     else:
         target = noise
-    loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
-    return loss
+    sq = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    if tcfg.snr_gamma is None:
+        return jnp.mean(sq)
+    # Min-SNR weighting (arXiv 2303.09556; diffusers compute_snr): SNR_t =
+    # acp/(1-acp). The epsilon weight min(SNR,γ)/SNR is computed as
+    # min(1, γ/SNR) — finite at SNR → 0 (zero-SNR rescale) and → γ/SNR at
+    # the near-clean steps it exists to down-weight.
+    acp_t = jnp.take(jnp.asarray(acp, jnp.float32), timesteps)
+    snr = acp_t / (1.0 - acp_t)
+    if tcfg.prediction_type == "v_prediction":
+        w = jnp.minimum(snr, tcfg.snr_gamma) / (snr + 1.0)
+    else:
+        w = jnp.minimum(1.0, tcfg.snr_gamma / jnp.maximum(snr, 1e-20))
+    per = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+    return jnp.mean(w * per)
 
 
 def make_train_step(cfgs: comp.ComponentConfigs, tcfg: TrainConfig, *,

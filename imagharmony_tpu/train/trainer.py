@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--zero_snr", action="store_true",
                    help="zero terminal SNR beta rescale during the forward "
                         "process (arXiv 2305.08891; for v_prediction)")
+    p.add_argument("--snr_gamma", type=float, default=None,
+                   help="min-SNR loss weighting (arXiv 2303.09556; "
+                        "5.0 is the paper's recommendation)")
     # beyond the reference's constant-lr / no-accum / no-EMA loop
     # (reference train.py:600-601, 620-710)
     p.add_argument("--grad_accum", type=int, default=1,
@@ -195,6 +198,7 @@ def main(argv=None):
         noise_offset=args.noise_offset,
         prediction_type=args.prediction_type,
         rescale_zero_snr=args.zero_snr,
+        snr_gamma=args.snr_gamma,
         train_image_proj=args.train_image_proj,
         unet_cfg=cfgs.unet,  # masks weight decay off inert IP projections
         grad_accum=args.grad_accum,

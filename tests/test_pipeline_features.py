@@ -603,3 +603,35 @@ def test_euler_ancestral_generate(pipe, ref_image):
         _gen(pipe, ref_image, scheduler="euler_a", chunk_steps=2, **kw)
     with pytest.raises(ValueError, match="karras"):
         _gen(pipe, ref_image, scheduler="euler_a", use_karras_sigmas=True, **kw)
+
+
+def test_no_cfg_fast_path(pipe, ref_image):
+    """guidance_scale <= 1 disables classifier-free guidance (diffusers
+    do_classifier_free_guidance): the uncond rows are sliced away and every
+    UNet eval runs at batch B instead of 2B. Semantics check: at scale
+    1 + epsilon the CFG combine is eps_u + ~1·(eps_c − eps_u) ≈ eps_c, so
+    the doubled-batch path must agree with the cond-only path to fp32
+    tolerance."""
+    from imagharmony_tpu import dtypes
+    from imagharmony_tpu.pipelines import HarmonyPipeline
+
+    pipe32 = HarmonyPipeline(pipe.params, pipe.cfgs, pipe.tokenizers,
+                             policy=dtypes.FP32, backend=pipe.backend)
+    kw = dict(num_inference_steps=3, output_type="raw")
+    fast = np.asarray(_gen(pipe32, ref_image, guidance_scale=1.0, **kw))
+    assert np.isfinite(fast).all()
+    again = np.asarray(_gen(pipe32, ref_image, guidance_scale=1.0, **kw))
+    np.testing.assert_array_equal(fast, again)
+    # CFG path at scale 1+1e-6 computes ≈ eps_c through the 2B batch
+    cfg1 = np.asarray(_gen(pipe32, ref_image, guidance_scale=1.0 + 1e-6, **kw))
+    np.testing.assert_allclose(fast, cfg1, atol=1e-3)
+    # and both differ from real guidance
+    assert np.abs(fast - np.asarray(_gen(pipe32, ref_image, **kw))).max() > 1e-3
+
+    # composes with turbo's encoder propagation and with euler_a
+    tb = _gen(pipe, ref_image, guidance_scale=1.0, encoder_interval=2,
+              num_inference_steps=4, output_type="np")
+    assert np.isfinite(tb.astype(np.float32)).all()
+    ea = _gen(pipe, ref_image, guidance_scale=1.0, scheduler="euler_a",
+              num_inference_steps=3, output_type="np")
+    assert np.isfinite(ea.astype(np.float32)).all()

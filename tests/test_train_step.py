@@ -299,3 +299,38 @@ def test_vpred_training_target():
     np.testing.assert_allclose(
         np.asarray(a * xt - s * v), np.asarray(x0), atol=1e-5
     )
+
+
+def test_min_snr_loss_weighting():
+    """--snr_gamma (arXiv 2303.09556, beyond the reference): per-sample MSE
+    weighted by min(SNR,γ)/SNR (epsilon) or min(SNR,γ)/(SNR+1) (v_pred).
+    gamma above the schedule's max SNR (~1110 for the default betas) makes
+    every epsilon weight exactly 1 — the loss must equal the unweighted
+    run bit-for-bit; a real gamma (5.0) changes it; v_pred with zero-SNR
+    rescale stays finite (weight 0 at SNR 0, not NaN)."""
+    cfgs = comp.tiny_configs()
+    params = comp.init_params(jax.random.PRNGKey(0), cfgs)
+    batch = train_step_lib.dummy_batch(cfgs)
+    rng = jax.random.PRNGKey(13)
+
+    def loss_for(**kw):
+        tcfg = train_step_lib.TrainConfig(
+            learning_rate=1e-3, gradient_checkpoint=False, **kw)
+        state, frozen = train_step_lib.init_state(params, tcfg)
+        step_fn = jax.jit(train_step_lib.make_train_step(cfgs, tcfg, policy=FP32))
+        _, metrics = step_fn(state, frozen, batch, rng)
+        return float(metrics["loss"])
+
+    base = loss_for()
+    huge = loss_for(snr_gamma=1e9)
+    # all weights exactly 1.0 — only the reduction order differs (mean of
+    # per-sample means vs one global mean)
+    np.testing.assert_allclose(huge, base, rtol=1e-6)
+    # weight < 1 needs SNR_t > gamma; a tiny gamma guarantees every sampled
+    # timestep is down-weighted (gamma=5.0 only touches t with SNR>5, which
+    # a 2-sample draw can easily miss)
+    real = loss_for(snr_gamma=1e-3)
+    assert np.isfinite(real) and real < 0.5 * base
+    vp = loss_for(snr_gamma=5.0, prediction_type="v_prediction",
+                  rescale_zero_snr=True)
+    assert np.isfinite(vp)
