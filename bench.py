@@ -20,6 +20,7 @@ Env knobs:
   IMAGHARMONY_BENCH_RES    output px         (default 1024; train: 512)
   IMAGHARMONY_BENCH_BATCH  train/serve batch (default 1; serve: 4)
   IMAGHARMONY_BENCH_ATTN   xla|pallas        (default pallas on TPU)
+  IMAGHARMONY_BENCH_GUIDANCE  CFG scale (default 5.0; <=1 = no-CFG fast path)
   IMAGHARMONY_BENCH_ENC    encoder interval  (default 1 = exact; 2 = the
                                              --turbo encoder-propagation
                                              preset, changes outputs)
@@ -182,6 +183,7 @@ def main():
     res = int(os.environ.get("IMAGHARMONY_BENCH_RES", "1024" if size == "full" else "256"))
     backend = os.environ.get("IMAGHARMONY_BENCH_ATTN", "pallas" if on_tpu else "xla")
     enc_interval = int(os.environ.get("IMAGHARMONY_BENCH_ENC", "1"))
+    guidance = float(os.environ.get("IMAGHARMONY_BENCH_GUIDANCE", "5.0"))
 
     if size == "full":
         ucfg = unet.UNetConfig()
@@ -233,7 +235,7 @@ def main():
             latents = (noise * schedule.init_noise_sigma).astype(dtype)
             latents = denoise(
                 uparams, ucfg, latents, context, pooled, time_ids, ip_tokens,
-                schedule, ip_scales, guidance_scale=5.0,
+                schedule, ip_scales, guidance_scale=guidance,
                 encoder_interval=enc_interval, policy=policy, backend=backend,
             )
             if nb > 1:
