@@ -82,6 +82,14 @@ class _Request:
             # encoder propagation (--turbo) changes the jitted program AND
             # the outputs — never mix intervals within a batch
             int(p.get("encoder_interval", 1)),
+            # UNet parametrization is a program property too
+            str(p.get("prediction_type", "epsilon")),
+            bool(p.get("zero_snr")),
+            # img2img/inpainting requests run per-request (generate_batch
+            # has no init-image packing); key them apart so they never
+            # try to pack with plain edits
+            bool(p.get("init_image")),
+            bool(p.get("mask_image")),
         )
 
 
@@ -128,7 +136,9 @@ class BatchingWorker(threading.Thread):
             self._run_group(group)
 
     def _run_group(self, group):
-        if len(group) > 1:
+        if len(group) > 1 and not (
+            group[0].payload.get("init_image") or group[0].payload.get("mask_image")
+        ):
             try:
                 self._run_packed(group)
                 return
@@ -179,6 +189,8 @@ class BatchingWorker(threading.Thread):
             width=int(first.get("width", 1024)),
             scheduler=str(first.get("scheduler", "euler")),
             encoder_interval=int(first.get("encoder_interval", 1)),
+            prediction_type=str(first.get("prediction_type", "epsilon")),
+            rescale_zero_snr=bool(first.get("zero_snr")),
             output_type="pil",
         )
         dt = time.time() - t0
@@ -211,6 +223,12 @@ class BatchingWorker(threading.Thread):
             control_image=control,
             controlnet_conditioning_scale=float(p.get("controlnet_scale", 1.0)),
             encoder_interval=int(p.get("encoder_interval", 1)),
+            prediction_type=str(p.get("prediction_type", "epsilon")),
+            rescale_zero_snr=bool(p.get("zero_snr")),
+            init_image=_payload_b64_image(p.get("init_image")),
+            mask_image=_payload_b64_image(p.get("mask_image")),
+            strength=(float(p["strength"]) if p.get("strength") is not None
+                      else None),
             output_type="pil",
         )[0]
         buf = io.BytesIO()
@@ -231,6 +249,16 @@ def _payload_image(p):
             0, 255, (64, 64, 3), dtype=np.uint8
         )
     )
+
+
+def _payload_b64_image(b64str):
+    """Decode an optional base64 PNG/JPEG payload field -> PIL image
+    (used by init_image= for img2img and mask_image= for inpainting)."""
+    from PIL import Image
+
+    if not b64str:
+        return None
+    return Image.open(io.BytesIO(base64.b64decode(b64str)))
 
 
 def _payload_control(p):
@@ -297,6 +325,8 @@ class ContinuousWorker(threading.Thread):
             use_harmony=bool(p.get("extra_text")),
             controlnet_scale=float(p.get("controlnet_scale", 1.0)),
             encoder_interval=int(p.get("encoder_interval", 1)),
+            prediction_type=str(p.get("prediction_type", "epsilon")),
+            rescale_zero_snr=bool(p.get("zero_snr")),
         )
         chunk = self.chunk
         if opts.encoder_interval > 1 and chunk % opts.encoder_interval:

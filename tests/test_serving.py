@@ -144,3 +144,43 @@ def test_continuous_http_roundtrip(cont_server):
         got = Image.open(io.BytesIO(base64.b64decode(r["image"])))
         assert got.size == (32, 32)
     assert len(cont_server.worker.admissions) == 2
+
+
+def test_edit_img2img_inpaint_payload(server):
+    """init_image/mask_image/strength + prediction_type/zero_snr payload
+    fields (beyond the reference demo.py surface): the inpaint request runs
+    per-request (never packed — generate_batch has no init-image packing)
+    and returns an image; batch keys differ from plain edits."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+
+    def b64(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    ref = b64(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    init = b64(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    mask = np.zeros((32, 32), np.uint8)
+    mask[:, 16:] = 255
+    base = {
+        "image": ref, "prompt": "a dog", "extra_text": "six dogs",
+        "steps": 2, "height": 32, "width": 32, "seed": 5,
+    }
+    out = _post(server, {**base, "init_image": init, "mask_image": b64(mask),
+                         "strength": 1.0})
+    png = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+    assert png.size == (32, 32)
+
+    # v-prediction request exercises the parametrization passthrough
+    out2 = _post(server, {**base, "prediction_type": "v_prediction",
+                          "zero_snr": True, "scheduler": "ddim"})
+    assert "image" in out2
+
+    # inpaint requests must not share a batch key with plain edits
+    k_plain = serving._Request(base).batch_key()
+    k_inp = serving._Request({**base, "init_image": init,
+                              "mask_image": b64(mask)}).batch_key()
+    k_pred = serving._Request({**base, "prediction_type": "v_prediction"}).batch_key()
+    assert k_plain != k_inp and k_plain != k_pred
