@@ -201,3 +201,21 @@ def load_lora(path):
 
 def num_params(lora_tree) -> int:
     return sum(v.size for v in flatten(lora_tree).values())
+
+
+def parse_spec(spec: str, default_scale: float = 1.0):
+    """Parse a CLI LoRA spec ``PATH[:SCALE]`` -> (path, scale).
+
+    A real file whose name happens to contain a colon wins over the
+    suffix interpretation. Used by the repeatable ``--lora`` flag to
+    compose multiple adapters, each at its own strength (the merges are
+    additive: W + Σ scale_i·ΔW_i, order-independent)."""
+    import os
+
+    if os.path.exists(spec) or ":" not in spec:
+        return spec, default_scale
+    path, suffix = spec.rsplit(":", 1)
+    try:
+        return path, float(suffix)
+    except ValueError:
+        return spec, default_scale

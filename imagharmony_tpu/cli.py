@@ -35,9 +35,13 @@ def _add_edit_args(p):
     p.add_argument("--output", default="output.png")
     p.add_argument("--model-dir", default=None, help="SDXL checkpoint directory")
     p.add_argument("--adapter-ckpt", default=None, help="ip_adapter.bin / .safetensors")
-    p.add_argument("--lora", default=None,
+    p.add_argument("--lora", action="append", default=None,
+                   metavar="PATH[:SCALE]",
                    help="lora-N.safetensors from `train --lora_rank` "
-                        "(merged into the UNet before generation)")
+                        "(merged into the UNet before generation). May be "
+                        "repeated to compose multiple LoRAs (additive "
+                        "merge); an optional :SCALE suffix overrides "
+                        "--lora-scale per adapter")
     p.add_argument("--lora-scale", type=float, default=1.0)
     p.add_argument("--image-encoder-dir", default=None)
     p.add_argument("--controlnet-dir", default=None,
@@ -59,7 +63,12 @@ def _add_edit_args(p):
     p.add_argument("--num-samples", type=int, default=1)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
-    p.add_argument("--scheduler", default="euler", choices=["euler", "euler_a", "ddim", "dpm++"])
+    p.add_argument("--scheduler", default="euler",
+                   choices=["euler", "euler_a", "ddim", "dpm++", "lcm"],
+                   help="lcm is the few-step consistency sampler for "
+                        "LCM/LCM-LoRA distilled checkpoints — pair with "
+                        "--steps 4..8 and --guidance-scale 1.0 (the no-CFG "
+                        "fast path)")
     p.add_argument("--fast", action="store_true",
                    help="latency preset: 15 steps + trailing timestep spacing "
                         "(arXiv 2305.08891; changes outputs vs the 30-step default)")
@@ -105,6 +114,23 @@ def _save_attn_maps(pipe, image, args):
     print(f"saved {len(maps)} IP attention heatmaps to {args.attn_maps}")
 
 
+def _merge_loras(pipe, args):
+    """Merge every --lora PATH[:SCALE] into the pipeline's UNet (repeatable
+    flag — the merges are additive and order-independent)."""
+    from imagharmony_tpu.adapters import lora as lora_lib
+
+    specs = getattr(args, "lora", None) or []
+    if isinstance(specs, str):  # tolerate a pre-append-era single string
+        specs = [specs]
+    for spec in specs:
+        path, scale = lora_lib.parse_spec(
+            spec, default_scale=getattr(args, "lora_scale", 1.0)
+        )
+        pipe = pipe.with_lora(path, scale=scale)
+        print(f"merged LoRA {path} (scale {scale})")
+    return pipe
+
+
 def cmd_edit(args):
     from PIL import Image
 
@@ -117,8 +143,7 @@ def cmd_edit(args):
         image_encoder_dir=args.image_encoder_dir,
         controlnet_dir=args.controlnet_dir,
     )
-    if getattr(args, "lora", None):
-        pipe = pipe.with_lora(args.lora, scale=args.lora_scale)
+    pipe = _merge_loras(pipe, args)
     image = Image.open(args.input).resize((512, 512))
     steps, spacing = args.steps, args.timestep_spacing or "leading"
     if args.fast:
@@ -155,7 +180,16 @@ def cmd_edit(args):
         tile_vae=args.tile_vae,
         output_type="pil",
     )
-    if args.pns:
+    if pipe.cfgs.vision is None:
+        # refiner family: no image prompt — --input is the image being
+        # refined (img2img), unless an explicit --init-image was given
+        if kw["init_image"] is None:
+            kw["init_image"] = image
+            if kw["strength"] is None:
+                kw["strength"] = 0.3
+        kw.pop("scale")
+        images = pipe.generate(**kw)
+    elif args.pns:
         from imagharmony_tpu.pipelines import pns
 
         images = [pns.generate_with_pns(pipe, image, num_seeds=args.pns, **kw)]
@@ -166,7 +200,10 @@ def cmd_edit(args):
         im.save(path)
         print(f"saved {path}")
     if args.attn_maps:
-        _save_attn_maps(pipe, image, args)
+        if pipe.cfgs.vision is None:
+            print("--attn-maps skipped: no IP branch on the refiner family")
+        else:
+            _save_attn_maps(pipe, image, args)
     print(f"done in {time.time() - t0:.1f}s")
 
 
@@ -351,8 +388,10 @@ def main(argv=None):
     p_serve.add_argument("--port", type=int, default=7860)
     p_serve.add_argument("--model-dir", default=None)
     p_serve.add_argument("--adapter-ckpt", default=None)
-    p_serve.add_argument("--lora", default=None,
-                         help="lora-N.safetensors merged into the UNet at startup")
+    p_serve.add_argument("--lora", action="append", default=None,
+                         metavar="PATH[:SCALE]",
+                         help="lora-N.safetensors merged into the UNet at "
+                              "startup (repeatable; :SCALE suffix per adapter)")
     p_serve.add_argument("--lora-scale", type=float, default=1.0)
     p_serve.add_argument("--continuous", action="store_true",
                          help="continuous batching: admit requests mid-denoise")

@@ -334,15 +334,80 @@ def detect_family(model_dir) -> str:
     ``text_encoder_2`` directory (SDXL's second tower). Mirrors the
     reference's two pipeline families (ip_adapter/ip_adapter.py:69-245 over
     StableDiffusionPipeline vs IPAdapterXL:249-340 over SDXL)."""
+    has_te1 = os.path.isdir(os.path.join(model_dir, "text_encoder"))
+    has_te2 = os.path.isdir(os.path.join(model_dir, "text_encoder_2"))
     idx = os.path.join(model_dir, "model_index.json")
     if os.path.exists(idx):
         with open(idx) as f:
             cls = json.load(f).get("_class_name", "")
         if "XL" in cls:
-            return "sdxl"
+            # the refiner ships only the bigG tower (its model_index class
+            # is StableDiffusionXLImg2ImgPipeline with a null text_encoder)
+            return "sdxl_refiner" if (has_te2 and not has_te1) else "sdxl"
         if "StableDiffusion" in cls:
             return "sd15"
-    return "sdxl" if os.path.isdir(os.path.join(model_dir, "text_encoder_2")) else "sd15"
+    if has_te2:
+        return "sdxl_refiner" if not has_te1 else "sdxl"
+    return "sd15"
+
+
+def seed_ip_weights(flat):
+    """Default missing ``to_k_ip``/``to_v_ip`` entries to copies of the
+    layer's own ``to_k``/``to_v``.
+
+    A plain diffusers UNet checkpoint carries no IP-Adapter weights; the
+    reference initializes them from the UNet's own projections before
+    training or adapter loading (reference train.py:553-560). Without this,
+    a REAL SDXL/SD1.5 tree would fail import_tree's strict missing-key
+    check (the synthesized test trees export our param tree, which includes
+    the IP keys — masking the gap). Present keys are never overwritten."""
+    out = dict(flat)
+    for k, v in flat.items():
+        for src, dst in (
+            ("attn2.to_k.weight", "attn2.to_k_ip.weight"),
+            ("attn2.to_v.weight", "attn2.to_v_ip.weight"),
+        ):
+            if k.endswith(src):
+                tgt = k[: -len(src)] + dst
+                if tgt not in flat:
+                    out[tgt] = v
+    return out
+
+
+def _read_json(path):
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _apply_component_configs(cfgs, model_dir):
+    """Override the family-default sub-configs with the checkpoint's own
+    diffusers/transformers ``config.json`` files where present, so
+    ``load_pipeline`` adapts to model variants (refiner-shaped UNets,
+    SD2.x-style towers, non-standard VAE scaling factors) instead of
+    assuming base-1.0 dimensions. Missing config files keep the defaults;
+    unsupported architecture options raise (models/unet.config_from_diffusers)."""
+    import dataclasses as _dc
+
+    from imagharmony_tpu.models import clip_text, unet, vae
+
+    rep = {}
+    d = _read_json(os.path.join(model_dir, "unet", "config.json"))
+    if d is not None:
+        rep["unet"] = unet.config_from_diffusers(d, ip_layers=cfgs.unet.ip_layers)
+    d = _read_json(os.path.join(model_dir, "vae", "config.json"))
+    if d is not None:
+        rep["vae"] = vae.config_from_diffusers(d)
+    if cfgs.text_l is not None:
+        d = _read_json(os.path.join(model_dir, "text_encoder", "config.json"))
+        if d is not None:
+            rep["text_l"] = clip_text.config_from_transformers(d)
+    if cfgs.text_g is not None:
+        d = _read_json(os.path.join(model_dir, "text_encoder_2", "config.json"))
+        if d is not None:
+            rep["text_g"] = clip_text.config_from_transformers(d, with_projection=True)
+    return _dc.replace(cfgs, **rep) if rep else cfgs
 
 
 def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
@@ -378,7 +443,12 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
 
     if cfgs is None:
         family = detect_family(model_dir)
-        cfgs = comp.sdxl_configs() if family == "sdxl" else comp.sd15_configs()
+        cfgs = {
+            "sdxl": comp.sdxl_configs,
+            "sdxl_refiner": comp.sdxl_refiner_configs,
+            "sd15": comp.sd15_configs,
+        }[family]()
+        cfgs = _apply_component_configs(cfgs, model_dir)
     if controlnet_dir and cfgs.controlnet is None:
         # the standard diffusers ControlNet copies the base UNet's encoder;
         # the conditioning-embedding widths come from its config.json
@@ -398,16 +468,17 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
 
     params = {}
     params["unet"] = hf_import.import_tree(
-        shapes["unet"], load_sharded_dir(os.path.join(model_dir, "unet"))
+        shapes["unet"], seed_ip_weights(load_sharded_dir(os.path.join(model_dir, "unet")))
     )
     params["vae"] = hf_import.import_tree(
         shapes["vae"], load_sharded_dir(os.path.join(model_dir, "vae"))
     )
-    params["text_encoder"] = hf_import.import_tree(
-        shapes["text_encoder"],
-        load_sharded_dir(os.path.join(model_dir, "text_encoder")),
-        prefix="text_model.",
-    )
+    if cfgs.text_l is not None:
+        params["text_encoder"] = hf_import.import_tree(
+            shapes["text_encoder"],
+            load_sharded_dir(os.path.join(model_dir, "text_encoder")),
+            prefix="text_model.",
+        )
     if cfgs.text_g is not None:
         params["text_encoder_2"] = hf_import.import_tree(
             shapes["text_encoder_2"],
@@ -415,22 +486,31 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
             prefix="text_model.",
             key_map=lambda k: k.replace("text_model.text_projection", "text_projection"),
         )
-    enc_dir = image_encoder_dir or os.path.join(model_dir, "image_encoder")
-    params["image_encoder"] = hf_import.import_tree(
-        shapes["image_encoder"],
-        load_sharded_dir(enc_dir),
-        prefix="vision_model.",
-        key_map=lambda k: k.replace("vision_model.visual_projection", "visual_projection"),
-    )
+    if cfgs.vision is not None:
+        enc_dir = image_encoder_dir or os.path.join(model_dir, "image_encoder")
+        params["image_encoder"] = hf_import.import_tree(
+            shapes["image_encoder"],
+            load_sharded_dir(enc_dir),
+            prefix="vision_model.",
+            key_map=lambda k: k.replace("vision_model.visual_projection", "visual_projection"),
+        )
     if controlnet_dir:
         params["controlnet"] = hf_import.import_tree(
-            shapes["controlnet"], load_sharded_dir(controlnet_dir)
+            shapes["controlnet"], seed_ip_weights(load_sharded_dir(controlnet_dir))
         )
 
-    params["image_proj"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["image_proj"])
+    if "image_proj" in shapes:
+        params["image_proj"] = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes["image_proj"]
+        )
     if cfgs.harmony is not None:
         params["harmony"] = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes["harmony"])
     if adapter_ckpt:
+        if cfgs.proj_kind == "none":
+            raise ValueError(
+                "adapter_ckpt does not apply to the refiner family (no "
+                "image prompt; the IP-Adapter conditions the base stage)"
+            )
         image_proj_flat, ip_flat, composed_flat, ha_cfg = load_adapter_checkpoint(adapter_ckpt)
         if ha_cfg is not None and ha_cfg != cfgs.harmony:
             cfgs = _dc.replace(cfgs, harmony=ha_cfg)
@@ -442,6 +522,13 @@ def load_pipeline(model_dir=None, adapter_ckpt=None, image_encoder_dir=None,
 
     if tokenizers is not None:
         toks = tokenizers
+    elif cfgs.family == "sdxl_refiner":
+        # the refiner ships tokenizer_2 only; both front-end streams see it
+        # (only the second stream reaches the bigG encoder)
+        t2 = tokenizer.CLIPTokenizer.from_pretrained_dir(
+            os.path.join(model_dir, "tokenizer_2"), pad_token="!"
+        )
+        toks = tokenizer.SDXLTokenizers(t2, t2)
     elif cfgs.text_g is not None:
         toks = tokenizer.SDXLTokenizers.from_pretrained_dir(model_dir)
     else:

@@ -53,6 +53,30 @@ def clip_bigg_config() -> CLIPTextConfig:
     )
 
 
+def config_from_transformers(d: dict, *, with_projection=None, **overrides) -> CLIPTextConfig:
+    """CLIPTextConfig from a transformers CLIPTextModel ``config.json``
+    dict (SD2.x-style towers differ in depth/width/activation from the
+    SDXL pair). ``with_projection`` forces the projection head on/off;
+    None keeps it when the json carries a projection_dim AND the
+    architectures list names a WithProjection class."""
+    arch = d.get("architectures") or []
+    if with_projection is None:
+        with_projection = any("WithProjection" in a for a in arch)
+    cfg = dict(
+        vocab_size=int(d.get("vocab_size", 49408)),
+        hidden_size=int(d.get("hidden_size", 768)),
+        num_layers=int(d.get("num_hidden_layers", 12)),
+        num_heads=int(d.get("num_attention_heads", 12)),
+        intermediate_size=int(d.get("intermediate_size", 3072)),
+        max_position_embeddings=int(d.get("max_position_embeddings", 77)),
+        hidden_act=d.get("hidden_act", "quick_gelu"),
+        projection_dim=int(d["projection_dim"]) if with_projection else None,
+        eos_token_id=int(d.get("eos_token_id", 49407)),
+    )
+    cfg.update(overrides)
+    return CLIPTextConfig(**cfg)
+
+
 def tiny_config(**overrides) -> CLIPTextConfig:
     base = dict(
         vocab_size=1000,

@@ -138,6 +138,131 @@ def sd15_config(**overrides) -> UNetConfig:
     return UNetConfig(**base)
 
 
+def sdxl_refiner_config(**overrides) -> UNetConfig:
+    """SDXL-refiner-1.0 UNet (the high-noise-specialist of the SDXL
+    mixture-of-denoisers; diffusers stable-diffusion-xl-refiner-1.0
+    unet/config.json): 4 stages, width 384, cross-attention on the middle
+    two stages only, conditioned on the bigG tower alone (1280) with
+    aesthetic-score micro-conditioning (5 time-ids × 256 + 1280 pooled =
+    2560). ``load_pipeline`` overrides these defaults with the checkpoint's
+    own config.json when present."""
+    base = dict(
+        sample_size=128,
+        block_out_channels=(384, 768, 1536, 1536),
+        down_block_types=(
+            "DownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        up_block_types=(
+            "UpBlock2D",
+            "CrossAttnUpBlock2D",
+            "CrossAttnUpBlock2D",
+            "UpBlock2D",
+        ),
+        transformer_layers_per_block=(4, 4, 4, 4),
+        num_attention_heads=(6, 12, 24, 24),
+        attention_head_dim=None,  # width 64 throughout
+        cross_attention_dim=1280,
+        projection_class_embeddings_input_dim=2560,
+        # no IP-Adapter on the refiner (the image prompt conditions the base)
+        ip_layers=(),
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+def config_from_diffusers(d: dict, **overrides) -> UNetConfig:
+    """Build a UNetConfig from a diffusers UNet2DConditionModel
+    ``config.json`` dict, so ``load_pipeline`` adapts to SDXL/SD variants
+    (refiner, SD2.x-style towers, width/depth remixes) instead of assuming
+    the base-1.0 shape. Fails loudly on architecture options this UNet does
+    not implement.
+
+    The head-count quirk is handled the way diffusers documents it: when
+    ``num_attention_heads`` is absent, ``attention_head_dim`` historically
+    holds the per-block *number of heads* (SDXL ships
+    attention_head_dim=[5,10,20]); when both are present,
+    ``attention_head_dim`` is the true head width."""
+    n_blocks = len(d["block_out_channels"])
+
+    unsupported = {
+        "class_embed_type": None,
+        "encoder_hid_dim": None,
+        "time_cond_proj_dim": None,
+        "dual_cross_attention": False,
+        "mid_block_type": "UNetMidBlock2DCrossAttn",
+        "resnet_time_scale_shift": "default",
+        "class_embeddings_concat": False,
+    }
+    for key, ok in unsupported.items():
+        val = d.get(key, ok)
+        if val != ok and val is not None:
+            raise ValueError(
+                f"diffusers UNet config option {key}={val!r} is not "
+                f"supported by this implementation (expected {ok!r})"
+            )
+    for key in ("down_block_types", "up_block_types"):
+        bad = set(d.get(key, ())) - {
+            "DownBlock2D", "CrossAttnDownBlock2D",
+            "UpBlock2D", "CrossAttnUpBlock2D",
+        }
+        if bad:
+            raise ValueError(f"unsupported {key} entries: {sorted(bad)}")
+
+    def per_block(v, name):
+        if isinstance(v, (list, tuple)):
+            if len(v) != n_blocks:
+                raise ValueError(f"{name} length {len(v)} != {n_blocks} blocks")
+            return tuple(int(x) for x in v)
+        return (int(v),) * n_blocks
+
+    heads_raw = d.get("num_attention_heads")
+    ahd = d.get("attention_head_dim", 8)
+    if heads_raw is not None:
+        heads = per_block(heads_raw, "num_attention_heads")
+        head_dim = int(ahd) if isinstance(ahd, (int, float)) else None
+    else:
+        heads = per_block(ahd, "attention_head_dim")
+        head_dim = None
+
+    lpb = d.get("layers_per_block", 2)
+    if isinstance(lpb, (list, tuple)):
+        if len(set(lpb)) != 1:
+            raise ValueError(f"non-uniform layers_per_block {lpb} unsupported")
+        lpb = lpb[0]
+    cad = d.get("cross_attention_dim", 1280)
+    if isinstance(cad, (list, tuple)):
+        if len(set(cad)) != 1:
+            raise ValueError(f"non-uniform cross_attention_dim {cad} unsupported")
+        cad = cad[0]
+
+    cfg = dict(
+        sample_size=int(d.get("sample_size", 128)),
+        in_channels=int(d.get("in_channels", 4)),
+        out_channels=int(d.get("out_channels", 4)),
+        block_out_channels=tuple(int(c) for c in d["block_out_channels"]),
+        down_block_types=tuple(d["down_block_types"]),
+        up_block_types=tuple(d["up_block_types"]),
+        layers_per_block=int(lpb),
+        transformer_layers_per_block=per_block(
+            d.get("transformer_layers_per_block", 1), "transformer_layers_per_block"
+        ),
+        num_attention_heads=heads,
+        attention_head_dim=head_dim,
+        cross_attention_dim=int(cad),
+        norm_num_groups=int(d.get("norm_num_groups", 32)),
+        addition_embed_type=d.get("addition_embed_type"),
+        addition_time_embed_dim=int(d.get("addition_time_embed_dim") or 256),
+        projection_class_embeddings_input_dim=int(
+            d.get("projection_class_embeddings_input_dim") or 2816
+        ),
+    )
+    cfg.update(overrides)
+    return UNetConfig(**cfg)
+
+
 # ---------------------------------------------------------------------------
 # ResNet block / up-down sampling
 # ---------------------------------------------------------------------------

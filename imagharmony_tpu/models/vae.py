@@ -47,6 +47,27 @@ def tiny_config(**overrides) -> VAEConfig:
     return VAEConfig(**base)
 
 
+def config_from_diffusers(d: dict, **overrides) -> VAEConfig:
+    """VAEConfig from a diffusers AutoencoderKL ``config.json`` dict —
+    notably ``scaling_factor``, which differs across model families
+    (SDXL 0.13025, SD1.5/2.x 0.18215, others vary) and silently corrupts
+    every latent if assumed."""
+    lpb = d.get("layers_per_block", 2)
+    cfg = dict(
+        in_channels=int(d.get("in_channels", 3)),
+        out_channels=int(d.get("out_channels", 3)),
+        latent_channels=int(d.get("latent_channels", 4)),
+        block_out_channels=tuple(int(c) for c in d.get(
+            "block_out_channels", (128, 256, 512, 512)
+        )),
+        layers_per_block=int(lpb),
+        norm_num_groups=int(d.get("norm_num_groups", 32)),
+        scaling_factor=float(d.get("scaling_factor", 0.13025)),
+    )
+    cfg.update(overrides)
+    return VAEConfig(**cfg)
+
+
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------

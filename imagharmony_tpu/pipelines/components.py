@@ -22,17 +22,21 @@ from imagharmony_tpu.models import clip_text, clip_vision, controlnet as control
 class ComponentConfigs:
     unet: unet.UNetConfig
     vae: vae.VAEConfig
-    text_l: clip_text.CLIPTextConfig
+    # first tower is absent for the refiner (bigG only)
+    text_l: Optional[clip_text.CLIPTextConfig]
     # second tower is SDXL-only; None for the SD1.5 family
     text_g: Optional[clip_text.CLIPTextConfig]
-    vision: clip_vision.CLIPVisionConfig
+    # None for families without an image prompt (sdxl_refiner)
+    vision: Optional[clip_vision.CLIPVisionConfig]
     # HA module is the SDXL QL-Edit head; None for plain SD1.5 IP-Adapter
     harmony: Optional[harmony.HarmonyConfig]
-    # "image_proj" (IPAdapter/XL) or "resampler" (IPAdapterPlus/PlusXL)
+    # "image_proj" (IPAdapter/XL), "resampler" (IPAdapterPlus/PlusXL),
+    # "mlp_proj" (IPAdapterFull), or "none" (no image prompt — refiner)
     proj_kind: str = "image_proj"
     resampler: Optional[resampler.ResamplerConfig] = None
     num_ip_tokens: int = 4
-    # "sdxl" (dual towers, micro-conditioning) or "sd15" (single tower)
+    # "sdxl" (dual towers, micro-conditioning), "sd15" (single tower), or
+    # "sdxl_refiner" (bigG tower only, aesthetic-score micro-conditioning)
     family: str = "sdxl"
     # optional ControlNet branch (reference wires CNAttnProcessors onto
     # pipe.controlnet, ip_adapter/ip_adapter.py:128-133)
@@ -48,6 +52,47 @@ def sdxl_configs(harmony_cfg: Optional[harmony.HarmonyConfig] = None) -> Compone
         text_g=clip_text.clip_bigg_config(),
         vision=clip_vision.CLIPVisionConfig(),
         harmony=harmony_cfg or harmony.HarmonyConfig(),
+    )
+
+
+def sdxl_refiner_configs() -> ComponentConfigs:
+    """SDXL-refiner-1.0: the low-noise specialist of the SDXL
+    mixture-of-denoisers (consumes a base run's denoising_end latents via
+    generate(latents=..., denoising_start=...), or plain img2img). Single
+    bigG text tower, aesthetic-score micro-conditioning, no image prompt /
+    HA head (the image prompt conditions the base stage)."""
+    return ComponentConfigs(
+        unet=unet.sdxl_refiner_config(),
+        vae=vae.VAEConfig(),
+        text_l=None,
+        text_g=clip_text.clip_bigg_config(),
+        vision=None,
+        harmony=None,
+        proj_kind="none",
+        family="sdxl_refiner",
+    )
+
+
+def sdxl_refiner_tiny_configs(vocab_size=1000) -> ComponentConfigs:
+    """Topology-faithful miniature refiner (4 stages, cross-attn on the
+    middle two only, aesthetic time-ids)."""
+    u = unet.sdxl_refiner_config(
+        sample_size=8,
+        block_out_channels=(16, 32, 64, 64),
+        transformer_layers_per_block=(1, 1, 2, 2),
+        num_attention_heads=(1, 2, 4, 4),
+        attention_head_dim=16,
+        cross_attention_dim=40,
+        norm_num_groups=8,
+        addition_time_embed_dim=16,
+        projection_class_embeddings_input_dim=16 * 5 + 40,
+    )
+    tg = clip_text.tiny_config(
+        vocab_size=vocab_size, hidden_size=40, num_heads=4, projection_dim=40
+    )
+    return ComponentConfigs(
+        unet=u, vae=vae.tiny_config(), text_l=None, text_g=tg,
+        vision=None, harmony=None, proj_kind="none", family="sdxl_refiner",
     )
 
 
@@ -110,15 +155,19 @@ def init_params(key, cfgs: ComponentConfigs, *, dtype=jnp.float32) -> Dict[str, 
     params = {
         "unet": unet.init(k[0], cfgs.unet, dtype=dtype),
         "vae": vae.init(k[1], cfgs.vae, dtype=dtype),
-        "text_encoder": clip_text.init(k[2], cfgs.text_l, dtype=dtype),
-        "image_encoder": clip_vision.init(k[4], cfgs.vision, dtype=dtype),
     }
+    if cfgs.text_l is not None:
+        params["text_encoder"] = clip_text.init(k[2], cfgs.text_l, dtype=dtype)
+    if cfgs.vision is not None:
+        params["image_encoder"] = clip_vision.init(k[4], cfgs.vision, dtype=dtype)
     if cfgs.text_g is not None:
         params["text_encoder_2"] = clip_text.init(k[3], cfgs.text_g, dtype=dtype)
     if cfgs.harmony is not None:
         params["harmony"] = harmony.init(k[5], cfgs.harmony, dtype=dtype)
     if cfgs.controlnet is not None:
         params["controlnet"] = controlnet_lib.init(k[7], cfgs.controlnet, dtype=dtype)
+    if cfgs.proj_kind == "none":
+        return params
     if cfgs.proj_kind == "image_proj":
         params["image_proj"] = projections.image_proj_init(
             k[6],

@@ -100,8 +100,12 @@ class EditOptions:
     # zero terminal SNR beta rescale (arXiv 2305.08891 §3.1) — for
     # v-prediction models trained with it; pair with trailing spacing
     rescale_zero_snr: bool = False
+    # aesthetic-score micro-conditioning (SDXL refiner,
+    # requires_aesthetics_score=True — diffusers XLImg2Img defaults)
+    aesthetic_score: float = 6.0
+    negative_aesthetic_score: float = 2.5
 
-    def time_ids(self, negative=False):
+    def time_ids(self, negative=False, aesthetic=False):
         osz = self.original_size or (self.height, self.width)
         tsz = self.target_size or (self.height, self.width)
         crop = self.crops_coords_top_left
@@ -109,8 +113,14 @@ class EditOptions:
             osz = self.negative_original_size or osz
             tsz = self.negative_target_size or tsz
             crop = self.negative_crops_coords_top_left or crop
-        return [float(osz[0]), float(osz[1]), float(crop[0]), float(crop[1]),
-                float(tsz[0]), float(tsz[1])]
+        head = [float(osz[0]), float(osz[1]), float(crop[0]), float(crop[1])]
+        if aesthetic:
+            # refiner micro-conditioning: original + crop + aesthetic score
+            # (no target_size — diffusers _get_add_time_ids with
+            # requires_aesthetics_score)
+            score = self.negative_aesthetic_score if negative else self.aesthetic_score
+            return head + [float(score)]
+        return head + [float(tsz[0]), float(tsz[1])]
 
 
 def rescale_noise_cfg(eps_cfg, eps_text, rescale):
@@ -134,11 +144,12 @@ def sched_config(opts: EditOptions) -> sched.NoiseScheduleConfig:
 
 
 def ancestral_key(scheduler: str, seeds):
-    """Host-side PRNG key for euler_a's per-step ancestral noise, derived
-    from the run's seed(s) on a stream disjoint from the init-noise draw
-    (a fixed tag folded into the seed key). None for the deterministic
-    schedulers — the jit signature then carries no key operand."""
-    if scheduler not in ("euler_a", "euler_ancestral"):
+    """Host-side PRNG key for the stochastic schedulers' per-step noise
+    (euler_a's ancestral draws, lcm's re-noising), derived from the run's
+    seed(s) on a stream disjoint from the init-noise draw (a fixed tag
+    folded into the seed key). None for the deterministic schedulers — the
+    jit signature then carries no key operand."""
+    if scheduler not in ("euler_a", "euler_ancestral", "lcm"):
         return None
     k = jax.random.PRNGKey(int(seeds[0]))
     for s_ in seeds[1:]:
@@ -162,10 +173,15 @@ def ip_scale_schedule(opts: EditOptions) -> np.ndarray:
 
 def encode_texts(params, cfgs: comp.ComponentConfigs, ids_l, ids_g, *, policy):
     """Text conditioning: dual-tower concat for SDXL; single CLIP-L
-    last-hidden-state for the SD1.5 family (pooled is None there)."""
+    last-hidden-state for the SD1.5 family (pooled is None there); bigG
+    penultimate + projected-pooled alone for the refiner (diffusers
+    XLImg2Img encode_prompt with one tower)."""
     if cfgs.family == "sd15":
         out = clip_text.apply(params["text_encoder"], cfgs.text_l, ids_l, policy=policy)
         return out["last"], None
+    if cfgs.family == "sdxl_refiner":
+        out = clip_text.apply(params["text_encoder_2"], cfgs.text_g, ids_g, policy=policy)
+        return out["penultimate"], out["projected"]
     return clip_text.encode_for_sdxl(
         params["text_encoder"], cfgs.text_l,
         params["text_encoder_2"], cfgs.text_g,
@@ -225,26 +241,38 @@ def build_conditioning(params, cfgs: comp.ComponentConfigs, opts: EditOptions,
     if opts.use_harmony and "extra_l" in ids:
         extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"], policy=policy)
 
-    # --- image prompt tokens ---
-    ip_cond, ip_uncond = image_prompt_tokens(params, cfgs, pixel_values, extra_ctx, policy=policy)
-
     # --- CFG packing, repeated to num_samples ---
     def rep(x):
         return jnp.repeat(x, num_samples, axis=0)
+
+    # --- image prompt tokens (absent for the refiner — proj_kind "none") ---
+    if cfgs.proj_kind == "none":
+        ip2 = None
+    else:
+        ip_cond, ip_uncond = image_prompt_tokens(
+            params, cfgs, pixel_values, extra_ctx, policy=policy
+        )
+        ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
 
     context2 = jnp.concatenate([rep(neg_ctx), rep(pos_ctx)], axis=0)
     pooled2 = (
         None if pos_pooled is None
         else jnp.concatenate([rep(neg_pooled), rep(pos_pooled)], axis=0)
     )
-    ip2 = jnp.concatenate([rep(ip_uncond), rep(ip_cond)], axis=0)
 
-    # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
+    # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w),
+    # or (orig, crop, aesthetic_score) for the refiner
     if cfgs.family == "sd15":
         time_ids = None
     else:
-        tid_pos = jnp.tile(jnp.array([opts.time_ids()], jnp.float32), (breq, 1))
-        tid_neg = jnp.tile(jnp.array([opts.time_ids(negative=True)], jnp.float32), (breq, 1))
+        aes = cfgs.family == "sdxl_refiner"
+        tid_pos = jnp.tile(
+            jnp.array([opts.time_ids(aesthetic=aes)], jnp.float32), (breq, 1)
+        )
+        tid_neg = jnp.tile(
+            jnp.array([opts.time_ids(negative=True, aesthetic=aes)], jnp.float32),
+            (breq, 1),
+        )
         time_ids = jnp.concatenate([rep(tid_neg), rep(tid_pos)], axis=0)
     return context2, pooled2, time_ids, ip2
 
@@ -362,7 +390,8 @@ def denoise(
         else:
             eps_g = eps
         lat, solver_state = sched.step_s(
-            kind, sigma, sigma_next, eps_g, lat, solver_state, prediction_type
+            kind, sigma, sigma_next, eps_g, lat, solver_state, prediction_type,
+            timestep=t,
         )
         if inpaint is not None:
             lat = _inpaint_blend(kind, blend_lv, lat, inpaint)
@@ -380,7 +409,7 @@ def _inpaint_blend_levels(schedule: sched.Schedule):
     (diffusers InpaintPipeline: the last blend uses init_latents, not
     add_noise). Clean == sigma 0 for euler/dpm++, alpha-cumprod 1 for ddim
     (noise_to_level returns the latents exactly at those values)."""
-    clean = 1.0 if schedule.kind == "ddim" else 0.0
+    clean = 1.0 if schedule.kind in ("ddim", "lcm") else 0.0
     tail = schedule.sigmas[1:]
     if schedule.num_steps == 0:  # zero-denoise img2img (strength < 1/n)
         return tail
@@ -453,7 +482,7 @@ def _denoise_encoder_prop(
             return eps, enc_out, mid_res
         return out
 
-    def guide_step(lat, eps, sigma, sigma_next, solver_state):
+    def guide_step(lat, eps, t, sigma, sigma_next, solver_state):
         if use_cfg:
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps_g = eps_u + guidance_scale * (eps_c - eps_u)
@@ -462,7 +491,7 @@ def _denoise_encoder_prop(
         else:
             eps_g = eps
         return sched.step_s(kind, sigma, sigma_next, eps_g, lat, solver_state,
-                            prediction_type)
+                            prediction_type, timestep=t)
 
     enc_s, mid_s = jax.eval_shape(
         lambda lat: eps_at(lat, ts_a[0], sig_a[0], ip_arr[0], want_enc=True),
@@ -483,7 +512,7 @@ def _denoise_encoder_prop(
             return eps_at(lat_, t, sig, ip_s, enc=enc, mid_res=mid_res), enc, mid_res
 
         eps, enc_new, mid_new = jax.lax.cond(is_key, full, reuse, lat)
-        lat, solver_state = guide_step(lat, eps, sig, sig_n, solver_state)
+        lat, solver_state = guide_step(lat, eps, t, sig, sig_n, solver_state)
         if inpaint is not None:
             lat = _inpaint_blend(kind, blend_arr[i], lat, inpaint)
         return (lat, enc_new, mid_new, solver_state), ()
@@ -511,7 +540,7 @@ def _edit_jit(
     control_cond=None,  # (1, Hc, Wc, 3) in [0,1] for the ControlNet branch
     init_pixels=None,   # (1, H, W, 3) in [-1,1] — img2img starting image
     mask=None,          # (1, h, w, 1) float {0=keep, 1=repaint} — inpainting
-    ancestral_rng=None, # PRNG key for euler_a's per-step noise
+    ancestral_rng=None, # PRNG key for euler_a/lcm per-step noise
     *,
     num_samples: int,
     policy: dtypes.Policy = dtypes.DEFAULT,
@@ -724,6 +753,17 @@ class HarmonyPipeline:
         return cls(params, cfgs, tok_lib.SDXLTokenizers(toy, toy), policy=policy)
 
     @classmethod
+    def random_tiny_refiner(cls, seed=0):
+        """Random-weight miniature SDXL-refiner pipeline (single bigG
+        tower, aesthetic-score micro-conditioning, no image prompt)."""
+        from imagharmony_tpu.models import tokenizer as tok_lib
+
+        toy = tok_lib.build_toy_tokenizer()
+        cfgs = comp.sdxl_refiner_tiny_configs(vocab_size=len(toy.encoder))
+        params = comp.init_params(jax.random.PRNGKey(seed), cfgs)
+        return cls(params, cfgs, tok_lib.SDXLTokenizers(toy, toy))
+
+    @classmethod
     def random_tiny_sd15(cls, seed=0):
         """Random-weight miniature SD1.5 pipeline (single text tower,
         vanilla IP-Adapter on all layers, no HA)."""
@@ -817,7 +857,8 @@ class HarmonyPipeline:
             noise = jax.device_put(noise, mesh_lib.replicated(mesh))
         rep = lambda x: jax.device_put(x, mesh_lib.replicated(mesh))
         ids = {k: rep(v) for k, v in ids.items()}
-        pixel_values = rep(pixel_values)
+        if pixel_values is not None:
+            pixel_values = rep(pixel_values)
         if control_cond is not None:
             control_cond = rep(control_cond)
         if init_pixels is not None:
@@ -828,7 +869,8 @@ class HarmonyPipeline:
 
     def _tokenize(self, text):
         ids1, ids2 = self.tokenizers(text or "")
-        max_l = self.cfgs.text_l.max_position_embeddings
+        tcfg = self.cfgs.text_l or self.cfgs.text_g
+        max_l = tcfg.max_position_embeddings
         return jnp.asarray(ids1[:, :max_l]), jnp.asarray(ids2[:, :max_l])
 
     def set_scale(self, scale: float):
@@ -880,6 +922,8 @@ class HarmonyPipeline:
         encoder_interval: int = 1,
         prediction_type: str = "epsilon",
         rescale_zero_snr: bool = False,
+        aesthetic_score: float = 6.0,
+        negative_aesthetic_score: float = 2.5,
     ):
         if callback_on_step_end is not None or chunk_steps is not None:
             # progress-callback path: chunked runner (same math, one extra
@@ -892,11 +936,11 @@ class HarmonyPipeline:
                     "refiner-stage inputs (latents=, denoising_start=); use "
                     "the one-jit path for the handoff consumer"
                 )
-            if scheduler in ("euler_a", "euler_ancestral"):
+            if scheduler in ("euler_a", "euler_ancestral", "lcm"):
                 raise ValueError(
-                    "euler_a is not supported on the chunked/continuous "
+                    f"{scheduler} is not supported on the chunked/continuous "
                     "runner (its rows sit at different schedule positions "
-                    "and cannot share one ancestral-noise key stream); use "
+                    "and cannot share one per-step noise key stream); use "
                     "the one-jit path"
                 )
             if init_image is not None or mask_image is not None:
@@ -967,11 +1011,20 @@ class HarmonyPipeline:
                 mask_image, height, width, self.cfgs.vae.downscale
             ))
 
-        if pixel_values is None:
-            pixel_values = clip_vision.preprocess_numpy(
-                pil_image, image_size=self.cfgs.vision.image_size
-            )
-        pixel_values = jnp.asarray(pixel_values[:1])
+        if self.cfgs.vision is None:
+            # no image prompt on this family (refiner): text-only conditioning
+            if pil_image is not None or pixel_values is not None:
+                raise ValueError(
+                    "this pipeline has no image encoder (family="
+                    f"{self.cfgs.family}); pass init_image=/latents= to "
+                    "refine an image, not pil_image="
+                )
+        else:
+            if pixel_values is None:
+                pixel_values = clip_vision.preprocess_numpy(
+                    pil_image, image_size=self.cfgs.vision.image_size
+                )
+            pixel_values = jnp.asarray(pixel_values[:1])
 
         ids = {}
         ids["pos_l"], ids["pos_g"] = self._tokenize(prompt)
@@ -1011,6 +1064,8 @@ class HarmonyPipeline:
             encoder_interval=encoder_interval,
             prediction_type=prediction_type,
             rescale_zero_snr=rescale_zero_snr,
+            aesthetic_score=aesthetic_score,
+            negative_aesthetic_score=negative_aesthetic_score,
         )
 
         down = self.cfgs.vae.downscale
@@ -1101,7 +1156,7 @@ class HarmonyPipeline:
         This is the serving fast path: the CFG-packed UNet batch becomes
         2B and the per-request host/dispatch overhead is paid once.
         """
-        b = len(images)
+        b = len(images) if images is not None else len(prompts)
         prompts = [p or DEFAULT_PROMPT for p in prompts]
         negative_prompts = [
             n or DEFAULT_NEGATIVE for n in (negative_prompts or [None] * b)
@@ -1111,14 +1166,23 @@ class HarmonyPipeline:
         use_extra = all(e is not None for e in extra_texts)
         seeds = seeds or list(range(b))
 
-        pixel_values = jnp.asarray(
-            np.concatenate(
-                [
-                    clip_vision.preprocess_numpy(im, image_size=self.cfgs.vision.image_size)
-                    for im in images
-                ]
+        if self.cfgs.vision is None:
+            # no image prompt on this family (refiner): text-only rows
+            if images is not None and any(im is not None for im in images):
+                raise ValueError(
+                    "this pipeline has no image encoder (family="
+                    f"{self.cfgs.family}); pass images=None"
+                )
+            pixel_values = None
+        else:
+            pixel_values = jnp.asarray(
+                np.concatenate(
+                    [
+                        clip_vision.preprocess_numpy(im, image_size=self.cfgs.vision.image_size)
+                        for im in images
+                    ]
+                )
             )
-        )
 
         def tok_rows(texts):
             l = np.concatenate([np.asarray(self._tokenize(t)[0]) for t in texts])

@@ -554,9 +554,9 @@ def main(args):
     else:
         print("no --model-dir: serving the random tiny pipeline (demo mode)")
         pipe = HarmonyPipeline.random_tiny()
-    if getattr(args, "lora", None):
-        pipe = pipe.with_lora(args.lora, scale=getattr(args, "lora_scale", 1.0))
-        print(f"merged LoRA {args.lora}")
+    from imagharmony_tpu.cli import _merge_loras
+
+    pipe = _merge_loras(pipe, args)
     defaults = {}
     if getattr(args, "turbo", False):
         # gated approximation, see the edit command's --turbo; requests may

@@ -1,12 +1,14 @@
 """Stateless diffusion schedulers (DDPM add-noise, DDIM, Euler discrete,
-DPM-Solver++ 2M).
+DPM-Solver++ 2M, Euler-ancestral, LCM).
 
 The reference delegates to diffusers' DDPMScheduler for training
 (reference train.py:505,644) and the pipeline's scheduler (SDXL ships
 EulerDiscreteScheduler) for inference (custom_pipelines.py:334,357).
 DPM-Solver++ 2M (Lu et al., arXiv 2211.01095 — diffusers'
-DPMSolverMultistepScheduler, the most common scheduler swap for SDXL) is
-provided beyond the reference.
+DPMSolverMultistepScheduler, the most common scheduler swap for SDXL),
+Euler-ancestral, and the LCM consistency sampler (Luo et al.,
+arXiv 2310.04378 — diffusers' LCMScheduler, the few-step sampler for
+LCM/LCM-LoRA distilled checkpoints) are provided beyond the reference.
 
 TPU-first design: a schedule is a bundle of *precomputed per-step arrays*
 (timesteps, sigmas / alpha-cumprods), so the denoise loop is a
@@ -233,6 +235,46 @@ def dpmpp_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig()) 
     )
 
 
+def lcm_schedule(num_steps, cfg: NoiseScheduleConfig = NoiseScheduleConfig(),
+                 original_inference_steps: int = 50) -> Schedule:
+    """LCM consistency sampling grid (diffusers LCMScheduler.set_timesteps):
+    the distillation's ``original_inference_steps`` (default 50) evenly
+    spaced origin timesteps ``k·i − 1`` (k = train_steps/50), from which
+    ``num_steps`` are subsampled by floor-linspace over the descending
+    order. Storage scale is VP (like ddim): the sigmas array holds the
+    alpha-cumprod at each step, with a trailing 1.0 — the final step's
+    "re-noise to alpha=1" is exactly the clean denoised output, so the
+    step function needs no last-step special case."""
+    if cfg.use_karras_sigmas:
+        raise ValueError("use_karras_sigmas is not supported for lcm "
+                         "(matching diffusers LCMScheduler)")
+    k = cfg.num_train_timesteps // original_inference_steps
+    if num_steps > original_inference_steps:
+        raise ValueError(
+            f"lcm supports at most original_inference_steps="
+            f"{original_inference_steps} steps, got {num_steps}"
+        )
+    acp = alphas_cumprod(cfg)
+    origin = (np.arange(1, original_inference_steps + 1) * k - 1)[::-1]
+    idx = np.floor(
+        np.linspace(0.0, len(origin), num_steps, endpoint=False)
+    ).astype(np.int64)
+    ts = origin[idx]
+    seq = np.concatenate([acp[ts], [1.0]]).astype(np.float32)
+    return Schedule(
+        kind="lcm",
+        timesteps=jnp.asarray(ts.astype(np.float32)),
+        sigmas=jnp.asarray(seq),
+        init_noise_sigma=1.0,
+    )
+
+
+# LCM boundary-condition constants (Song et al. consistency models /
+# diffusers LCMScheduler defaults: sigma_data=0.5, timestep_scaling=10).
+LCM_SIGMA_DATA = 0.5
+LCM_TIMESTEP_SCALING = 10.0
+
+
 def scale_model_input(schedule: Schedule, i, sample):
     """Pre-UNet input scaling (reference custom_pipelines.py:334)."""
     if schedule.kind in ("euler", "euler_a"):
@@ -274,7 +316,7 @@ def to_epsilon(kind: str, sigma, model_output, sample, prediction_type: str):
         return model_output
     m32 = model_output.astype(jnp.float32)
     s32 = sample.astype(jnp.float32)
-    if kind == "ddim":
+    if kind in ("ddim", "lcm"):
         a = jnp.sqrt(jnp.asarray(sigma, jnp.float32))       # sqrt(acp_t)
         s = jnp.sqrt(1.0 - jnp.asarray(sigma, jnp.float32))
         if prediction_type == "v_prediction":
@@ -302,8 +344,8 @@ def step_c(kind: str, sigma, sigma_next, model_output, sample,
     kinds (dpm++) must go through ``step_s`` (they carry history)."""
     if kind == "dpm++":
         raise ValueError("dpm++ is multistep — use step_s with a solver state")
-    if kind == "euler_a":
-        raise ValueError("euler_a is stochastic — use step_s with an rng-"
+    if kind in ("euler_a", "lcm"):
+        raise ValueError(f"{kind} is stochastic — use step_s with an rng-"
                          "carrying solver state")
     dtype = sample.dtype
     s32 = sample.astype(jnp.float32)
@@ -335,15 +377,16 @@ def init_solver_state(kind: str, latents, key=None):
     its own schedule position — keep independent histories, and a row reset
     to zeros behaves exactly like step 0 of a fresh run (first-order).
 
-    For euler_a the state carries the PRNG ``key`` the per-step ancestral
-    noise is drawn from (one key for the whole batch; rows get independent
-    rows of each draw). It must be supplied — the chunked/continuous
-    runner, whose rows sit at different schedule positions, cannot share
-    one key stream and rejects the kind here."""
-    if kind == "euler_a":
+    For the stochastic kinds (euler_a ancestral noise, lcm's per-step
+    re-noising) the state carries the PRNG ``key`` the fresh noise is drawn
+    from (one key for the whole batch; rows get independent rows of each
+    draw). It must be supplied — the chunked/continuous runner, whose rows
+    sit at different schedule positions, cannot share one key stream and
+    rejects these kinds."""
+    if kind in ("euler_a", "lcm"):
         if key is None:
             raise ValueError(
-                "euler_a needs an rng key for its ancestral noise — "
+                f"{kind} needs an rng key for its per-step noise — "
                 "supported on the one-jit generate path only (not the "
                 "chunked/continuous runner)"
             )
@@ -359,7 +402,7 @@ def init_solver_state(kind: str, latents, key=None):
 
 
 def step_s(kind: str, sigma, sigma_next, model_output, sample, state,
-           prediction_type: str = "epsilon"):
+           prediction_type: str = "epsilon", timestep=None):
     """State-carrying reverse step: returns ``(new_sample, new_state)``.
 
     euler/ddim delegate to ``step_c`` with an empty state. dpm++ is the
@@ -375,7 +418,41 @@ def step_s(kind: str, sigma, sigma_next, model_output, sample, state,
 
     sigma/sigma_next may be scalars (lockstep scan) or (B,1,1,1) per-row
     constants (chunked runner); both broadcast against the state.
+
+    ``timestep`` is required for lcm only: its boundary-condition scalings
+    c_skip/c_out depend on the (scaled) conditioning timestep, not on the
+    alpha-cumprods.
     """
+    if kind == "lcm":
+        # LCM consistency step (diffusers LCMScheduler.step): map the UNet
+        # output to a predicted x0, apply the consistency-function boundary
+        # scalings, then re-noise to the NEXT inference timestep's
+        # alpha-cumprod with fresh noise. (sigma, sigma_next) are
+        # (alpha_cumprod_t, alpha_cumprod_next); the trailing schedule entry
+        # is 1.0, making the final step exactly the clean denoised output.
+        if timestep is None:
+            raise ValueError("lcm's boundary scalings need the timestep — "
+                             "pass step_s(..., timestep=t)")
+        dtype = sample.dtype
+        s32 = sample.astype(jnp.float32)
+        m32 = model_output.astype(jnp.float32)
+        a = jnp.asarray(sigma, jnp.float32)
+        if prediction_type == "v_prediction":
+            x0 = jnp.sqrt(a) * s32 - jnp.sqrt(1.0 - a) * m32
+        elif prediction_type == "sample":
+            x0 = m32
+        else:
+            x0 = (s32 - jnp.sqrt(1.0 - a) * m32) / jnp.sqrt(a)
+        st = jnp.asarray(timestep, jnp.float32) * LCM_TIMESTEP_SCALING
+        sd2 = LCM_SIGMA_DATA**2
+        c_skip = sd2 / (st**2 + sd2)
+        c_out = st / jnp.sqrt(st**2 + sd2)
+        denoised = c_out * x0 + c_skip * s32
+        a_n = jnp.asarray(sigma_next, jnp.float32)
+        key, sub = jax.random.split(state["key"])
+        z = jax.random.normal(sub, sample.shape, jnp.float32)
+        out = jnp.sqrt(a_n) * denoised + jnp.sqrt(1.0 - a_n) * z
+        return out.astype(dtype), {"key": key}
     if kind == "euler_a":
         # Euler-ancestral (k-diffusion sample_euler_ancestral / diffusers
         # EulerAncestralDiscreteScheduler, beyond the reference): the
@@ -494,7 +571,7 @@ def noise_to_level(kind: str, level, image_latents, noise):
     if kind == "dpm++":
         alpha = 1.0 / jnp.sqrt(jnp.asarray(level, jnp.float32) ** 2 + 1.0)
         return alpha * (x + level * eps)
-    # ddim: level is an alpha-cumprod
+    # ddim / lcm: level is an alpha-cumprod
     a = jnp.asarray(level, jnp.float32)
     return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * eps
 
@@ -526,6 +603,14 @@ def make(kind: str, num_steps: int, cfg: NoiseScheduleConfig = NoiseScheduleConf
         s = ddim_schedule(num_steps, cfg)
     elif kind in ("dpm++", "dpmpp"):
         s = dpmpp_schedule(num_steps, cfg)
+    elif kind == "lcm":
+        if denoising_end is not None or denoising_start is not None:
+            raise ValueError(
+                "denoising_end/denoising_start are not supported for lcm "
+                "(its timestep grid is the distillation's origin grid, not "
+                "the base/refiner split's spaced grid)"
+            )
+        s = lcm_schedule(num_steps, cfg)
     else:
         raise ValueError(f"unknown scheduler kind {kind!r}")
     if denoising_end is not None and 0.0 < denoising_end < 1.0:

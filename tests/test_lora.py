@@ -176,3 +176,68 @@ def test_with_lora_composes_with_mesh():
     a = pipe.with_mesh(mesh).with_lora(bumped, lora_cfg=cfg).generate(**kw)
     b = pipe.with_lora(bumped, lora_cfg=cfg).with_mesh(mesh).generate(**kw)
     np.testing.assert_array_equal(a, b)
+
+
+def test_multi_lora_composition(tmp_path, cfgs, params):
+    """Chained with_lora merges are additive and order-independent:
+    W + s1·ΔW1 + s2·ΔW2 — the multi-LoRA serving path (repeatable --lora
+    PATH[:SCALE]). parse_spec handles the optional :SCALE suffix."""
+    unet_np = jax.tree.map(np.asarray, params["unet"])
+    cfg = lora_lib.LoRAConfig(rank=2)
+    t1 = lora_lib.unflatten({
+        k: v + 0.03 for k, v in lora_lib.flatten(
+            lora_lib.init_lora(0, unet_np, cfg)).items()
+    })
+    t2 = lora_lib.unflatten({
+        k: v - 0.02 for k, v in lora_lib.flatten(
+            lora_lib.init_lora(1, unet_np, cfg)).items()
+    })
+
+    both = lora_lib.apply_lora(
+        lora_lib.apply_lora(params["unet"], t1, cfg, scale=0.7),
+        t2, cfg, scale=0.3,
+    )
+    swapped = lora_lib.apply_lora(
+        lora_lib.apply_lora(params["unet"], t2, cfg, scale=0.3),
+        t1, cfg, scale=0.7,
+    )
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(both), key=str),
+        sorted(jax.tree_util.tree_leaves_with_path(swapped), key=str),
+    ):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-5, atol=1e-6)
+
+    # pipeline chaining == the composed merge
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    tree1 = lora_lib.unflatten({
+        k: v + 0.05 for k, v in lora_lib.flatten(
+            lora_lib.init_lora(0, jax.tree.map(np.asarray, pipe.params["unet"]),
+                               cfg)).items()
+    })
+    tree2 = lora_lib.unflatten({
+        k: v - 0.04 for k, v in lora_lib.flatten(
+            lora_lib.init_lora(1, jax.tree.map(np.asarray, pipe.params["unet"]),
+                               cfg)).items()
+    })
+    kw = dict(pil_image=np.zeros((32, 32, 3), np.uint8), prompt="a dog",
+              num_inference_steps=2, height=32, width=32, seed=1)
+    chained = (pipe.with_lora(tree1, lora_cfg=cfg, scale=0.7)
+                   .with_lora(tree2, lora_cfg=cfg, scale=0.3))
+    out = chained.generate(**kw)
+    base = pipe.generate(**kw)
+    assert np.abs(out.astype(int) - base.astype(int)).max() > 0
+    # scale 0 on both restores the base exactly
+    ident = (pipe.with_lora(tree1, lora_cfg=cfg, scale=0.0)
+                 .with_lora(tree2, lora_cfg=cfg, scale=0.0)).generate(**kw)
+    np.testing.assert_array_equal(base, ident)
+
+
+def test_parse_spec(tmp_path):
+    assert lora_lib.parse_spec("a.safetensors", 1.0) == ("a.safetensors", 1.0)
+    assert lora_lib.parse_spec("a.safetensors:0.5", 1.0) == ("a.safetensors", 0.5)
+    assert lora_lib.parse_spec("a:b.safetensors", 0.7) == ("a:b.safetensors", 0.7)
+    # an existing file whose name contains a colon wins over the suffix read
+    p = os.path.join(tmp_path, "w:2.safetensors")
+    open(p, "wb").close()
+    assert lora_lib.parse_spec(p, 1.0) == (p, 1.0)

@@ -635,3 +635,45 @@ def test_no_cfg_fast_path(pipe, ref_image):
     ea = _gen(pipe, ref_image, guidance_scale=1.0, scheduler="euler_a",
               num_inference_steps=3, output_type="np")
     assert np.isfinite(ea.astype(np.float32)).all()
+
+
+def test_lcm_generate(pipe, ref_image):
+    """scheduler="lcm" (beyond the reference — diffusers LCMScheduler role,
+    the few-step consistency sampler for LCM/LCM-LoRA distilled
+    checkpoints): deterministic given the seed, stochastic stream derived
+    from it, canonical at guidance_scale=1.0 (the no-CFG fast path — one
+    UNet eval per step at batch B). Composes with img2img; chunked runner,
+    karras and the refiner handoff are rejected."""
+    kw = dict(num_inference_steps=4, guidance_scale=1.0, output_type="np")
+    a = _gen(pipe, ref_image, scheduler="lcm", **kw)
+    again = _gen(pipe, ref_image, scheduler="lcm", **kw)
+    np.testing.assert_array_equal(a, again)
+    other = _gen(pipe, ref_image, scheduler="lcm", seed=8, **kw)
+    assert not np.array_equal(a, other)
+    # CFG (gs>1) still runs (LCM-LoRA on a standard UNet accepts mild CFG)
+    cfg = _gen(pipe, ref_image, scheduler="lcm", num_inference_steps=4,
+               guidance_scale=2.0, output_type="np")
+    assert not np.array_equal(a, cfg)
+
+    # img2img + seed lists compose (VP-scale noising of the init image)
+    init = np.random.default_rng(2).integers(0, 255, (64, 64, 3), np.uint8)
+    ls = _gen(pipe, ref_image, scheduler="lcm", seed=[3, 4], num_samples=2,
+              init_image=init, strength=0.5, **kw)
+    assert ls.shape[0] == 2 and np.isfinite(ls.astype(np.float32)).all()
+
+    # packed serving path carries the noise stream too
+    pb = pipe.generate_batch(
+        [ref_image, ref_image], ["a dog", "a cat"],
+        extra_texts=["six dogs", "six cats"], seeds=[3, 4],
+        scheduler="lcm", height=32, width=32,
+        num_inference_steps=4, guidance_scale=1.0, output_type="np",
+    )
+    assert pb.shape[0] == 2
+
+    import pytest
+    with pytest.raises(ValueError, match="lcm"):
+        _gen(pipe, ref_image, scheduler="lcm", chunk_steps=2, **kw)
+    with pytest.raises(ValueError, match="karras"):
+        _gen(pipe, ref_image, scheduler="lcm", use_karras_sigmas=True, **kw)
+    with pytest.raises(ValueError, match="denoising"):
+        _gen(pipe, ref_image, scheduler="lcm", denoising_end=0.8, **kw)

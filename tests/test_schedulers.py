@@ -504,3 +504,116 @@ def test_euler_a_step_math():
                             jnp.asarray(x), st, "v_prediction")
     np.testing.assert_allclose(np.asarray(out_v), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LCM (consistency sampling — diffusers LCMScheduler, beyond the reference;
+# the few-step sampler for LCM / LCM-LoRA distilled checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def test_lcm_schedule_grid():
+    """Timestep selection pinned to diffusers LCMScheduler.set_timesteps:
+    origin grid k·i−1 (k = 1000/50 = 20) descending, subsampled by
+    floor-linspace. Storage is VP alpha-cumprods with a trailing 1.0."""
+    import pytest
+
+    s4 = sched.make("lcm", 4)
+    assert s4.kind == "lcm"
+    np.testing.assert_array_equal(
+        np.asarray(s4.timesteps), np.array([999, 759, 499, 259], np.float32)
+    )
+    s8 = sched.make("lcm", 8)
+    np.testing.assert_array_equal(
+        np.asarray(s8.timesteps),
+        np.array([999, 879, 759, 639, 499, 379, 259, 139], np.float32),
+    )
+    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+    np.testing.assert_allclose(
+        np.asarray(s4.sigmas),
+        np.concatenate([acp[[999, 759, 499, 259]], [1.0]]).astype(np.float32),
+        rtol=1e-6,
+    )
+    assert float(s4.init_noise_sigma) == 1.0
+    # identity input scaling (VP storage)
+    x = jnp.full((1, 2, 2, 4), 3.0)
+    np.testing.assert_array_equal(
+        np.asarray(sched.scale_model_input_c("lcm", s4.sigmas[0], x)), np.asarray(x)
+    )
+
+    with pytest.raises(ValueError, match="karras"):
+        sched.make("lcm", 4, sched.NoiseScheduleConfig(use_karras_sigmas=True))
+    with pytest.raises(ValueError, match="original_inference_steps"):
+        sched.make("lcm", 51)
+    with pytest.raises(ValueError, match="denoising"):
+        sched.make("lcm", 4, denoising_end=0.8)
+    # stochastic kind: stateless step, key-less state, missing timestep
+    with pytest.raises(ValueError, match="lcm"):
+        sched.step_c("lcm", 0.5, 0.7, x, x)
+    with pytest.raises(ValueError, match="rng"):
+        sched.init_solver_state("lcm", x)
+
+
+def test_lcm_step_math():
+    """One LCM step == boundary-scaled consistency output re-noised to the
+    next timestep's alpha-cumprod (independent numpy recomputation with the
+    draw replayed from the same key); the final step (trailing alpha 1.0)
+    is noise-free and returns the denoised output exactly."""
+    import jax
+    import pytest
+
+    acp = sched.alphas_cumprod(sched.NoiseScheduleConfig())
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    eps = rng.standard_normal((2, 4, 4, 4)).astype(np.float32)
+    t = 499.0
+    a, a_n = float(acp[499]), float(acp[259])
+    key = jax.random.PRNGKey(11)
+
+    st = sched.init_solver_state("lcm", jnp.asarray(x), key)
+    out, st2 = sched.step_s("lcm", a, a_n, jnp.asarray(eps), jnp.asarray(x),
+                            st, timestep=t)
+
+    x0 = (x - np.sqrt(1.0 - a) * eps) / np.sqrt(a)
+    ts = t * sched.LCM_TIMESTEP_SCALING
+    sd2 = sched.LCM_SIGMA_DATA**2
+    c_skip = sd2 / (ts**2 + sd2)
+    c_out = ts / np.sqrt(ts**2 + sd2)
+    denoised = c_out * x0 + c_skip * x
+    k2, sub = jax.random.split(key)
+    z = np.asarray(jax.random.normal(sub, x.shape, jnp.float32))
+    expect = np.sqrt(a_n) * denoised + np.sqrt(1.0 - a_n) * z
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2["key"]), np.asarray(k2))
+
+    # final step: trailing alpha 1.0 → exactly the denoised output
+    st = sched.init_solver_state("lcm", jnp.asarray(x), key)
+    final, _ = sched.step_s("lcm", a, 1.0, jnp.asarray(eps), jnp.asarray(x),
+                            st, timestep=t)
+    np.testing.assert_allclose(np.asarray(final), denoised, rtol=1e-5, atol=1e-6)
+
+    # t=0 boundary: c_skip→1, c_out→0 — the consistency function is the
+    # identity there (its anchor constraint), so denoised == sample
+    st = sched.init_solver_state("lcm", jnp.asarray(x), key)
+    anchor, _ = sched.step_s("lcm", float(acp[0]), 1.0, jnp.asarray(eps),
+                             jnp.asarray(x), st, timestep=0.0)
+    np.testing.assert_allclose(np.asarray(anchor), x, rtol=1e-5, atol=1e-6)
+
+    # v-prediction parametrization produces the identical step (same key):
+    # v = sqrt(a)·eps − sqrt(1−a)·x0
+    v = np.sqrt(a) * eps - np.sqrt(1.0 - a) * x0
+    st = sched.init_solver_state("lcm", jnp.asarray(x), key)
+    out_v, _ = sched.step_s("lcm", a, a_n, jnp.asarray(v), jnp.asarray(x),
+                            st, "v_prediction", timestep=t)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+    # the timestep is mandatory for lcm
+    with pytest.raises(ValueError, match="timestep"):
+        sched.step_s("lcm", a, a_n, jnp.asarray(eps), jnp.asarray(x), st)
+
+    # img2img init noising at VP scale: level == alpha-cumprod
+    lv = sched.noise_to_level("lcm", a, jnp.asarray(x), jnp.asarray(eps))
+    np.testing.assert_allclose(
+        np.asarray(lv), np.sqrt(a) * x + np.sqrt(1.0 - a) * eps, rtol=1e-5
+    )
