@@ -21,6 +21,9 @@ Env knobs:
   IMAGHARMONY_BENCH_BATCH  train/serve batch (default 1; serve: 4)
   IMAGHARMONY_BENCH_ATTN   xla|pallas        (default pallas on TPU)
   IMAGHARMONY_BENCH_GUIDANCE  CFG scale (default 5.0; <=1 = no-CFG fast path)
+  IMAGHARMONY_BENCH_SCHEDULER euler|euler_a|ddim|dpm++|lcm (default euler;
+                                             lcm+steps 4+guidance 1 = the
+                                             distilled-checkpoint op point)
   IMAGHARMONY_BENCH_ENC    encoder interval  (default 1 = exact; 2 = the
                                              --turbo encoder-propagation
                                              preset, changes outputs)
@@ -216,7 +219,11 @@ def main():
     # serve: B independent requests packed on the batch axis (PERF.md:
     # M=2048→8192 helps the dim-1280 matmuls, ~+16% throughput at 4×)
     b = int(os.environ.get("IMAGHARMONY_BENCH_BATCH", "4")) if mode == "serve" else 1
-    schedule = sched.make("euler", steps)
+    sched_kind = os.environ.get("IMAGHARMONY_BENCH_SCHEDULER", "euler")
+    schedule = sched.make(sched_kind, steps)
+    anc_rng = (
+        jax.random.PRNGKey(7) if schedule.kind in ("euler_a", "lcm") else None
+    )
     ip_scales = jnp.ones((steps,), jnp.float32)
 
     def make_inputs(nb):
@@ -236,7 +243,8 @@ def main():
             latents = denoise(
                 uparams, ucfg, latents, context, pooled, time_ids, ip_tokens,
                 schedule, ip_scales, guidance_scale=guidance,
-                encoder_interval=enc_interval, policy=policy, backend=backend,
+                encoder_interval=enc_interval, ancestral_rng=anc_rng,
+                policy=policy, backend=backend,
             )
             if nb > 1:
                 # packed serving: decode rows sequentially — a 4-row 1024²
@@ -274,6 +282,8 @@ def main():
     what = f"{b}-packed serving" if mode == "serve" else "SDXL edit"
     if enc_interval > 1:
         what += f" enc-prop/{enc_interval}"
+    if sched_kind != "euler":
+        what += f" {sched_kind}"
     record = {
         "metric": f"images/sec/chip, {steps}-step {res}x{res} {what} ({size}, attn={backend})",
         "value": round(ips, 4),

@@ -89,6 +89,10 @@ def _add_edit_args(p):
     p.add_argument("--karras", action="store_true",
                    help="Karras rho=7 sigma spacing (arXiv 2206.00364; "
                         "euler/dpm++ only — diffusers use_karras_sigmas)")
+    p.add_argument("--clip-skip", type=int, default=0,
+                   help="condition on an earlier text-encoder layer "
+                        "(diffusers clip_skip; for checkpoints fine-tuned "
+                        "that way)")
     p.add_argument("--tile-vae", action="store_true")
     p.add_argument("--pns", type=int, default=0, help="preference-guided noise selection over K seeds")
     p.add_argument("--attn-maps", default=None, metavar="DIR",
@@ -172,6 +176,7 @@ def cmd_edit(args):
         use_karras_sigmas=getattr(args, "karras", False),
         prediction_type=getattr(args, "prediction_type", "epsilon"),
         rescale_zero_snr=getattr(args, "zero_snr", False),
+        clip_skip=getattr(args, "clip_skip", 0),
         seed=args.seed,
         num_samples=args.num_samples,
         height=args.height,
@@ -242,6 +247,7 @@ def cmd_demo(args):
         use_karras_sigmas=getattr(args, "karras", False),
         prediction_type=getattr(args, "prediction_type", "epsilon"),
         rescale_zero_snr=getattr(args, "zero_snr", False),
+        clip_skip=getattr(args, "clip_skip", 0),
         init_image=(Image.open(args.init_image)
                     if getattr(args, "init_image", None) else None),
         mask_image=(Image.open(args.mask_image)

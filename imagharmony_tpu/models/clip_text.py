@@ -152,7 +152,8 @@ def _encoder_layer(p, x, *, heads, act, mask, policy):
     return x
 
 
-def apply(params, cfg: CLIPTextConfig, input_ids, *, policy: dtypes.Policy = dtypes.DEFAULT):
+def apply(params, cfg: CLIPTextConfig, input_ids, *,
+          policy: dtypes.Policy = dtypes.DEFAULT, clip_skip: int = 0):
     """input_ids (B, S) -> dict with:
 
     penultimate: (B, S, D)  hidden state entering the last layer — the
@@ -163,7 +164,17 @@ def apply(params, cfg: CLIPTextConfig, input_ids, *, policy: dtypes.Policy = dty
     projected:   (B, P)     text_projection(pooled), present iff the tower
                  has a projection — the ``pooled_text_embeds`` SDXL uses
                  (reference train.py:664)
-    """
+
+    clip_skip > 0 conditions on an earlier layer (diffusers' clip_skip —
+    a standard community knob for checkpoints fine-tuned that way):
+    ``penultimate`` becomes hidden_states[-(2+clip_skip)] and ``last``
+    the final-layer-norm of hidden_states[-(1+clip_skip)]. ``pooled`` /
+    ``projected`` always come from the FULL tower (diffusers semantics —
+    the pooler is unaffected by clip_skip)."""
+    if not 0 <= clip_skip < cfg.num_layers - 1:
+        raise ValueError(
+            f"clip_skip must be in [0, {cfg.num_layers - 2}], got {clip_skip}"
+        )
     b, s = input_ids.shape
     tok = layers.embedding(params["embeddings"]["token_embedding"], input_ids, policy=policy)
     pos = layers.embedding(
@@ -175,18 +186,25 @@ def apply(params, cfg: CLIPTextConfig, input_ids, *, policy: dtypes.Policy = dty
     causal = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)[None, None]
 
     penultimate = None
+    skip_hidden = None
     for i, layer in enumerate(params["encoder_layers"]):
-        if i == cfg.num_layers - 1:
+        if i == cfg.num_layers - 1 - clip_skip:
             penultimate = x
+        if clip_skip and i == cfg.num_layers - clip_skip:
+            skip_hidden = x
         x = _encoder_layer(
             layer, x, heads=cfg.num_heads, act=cfg.hidden_act, mask=causal, policy=policy
         )
 
-    last = layers.layer_norm(params["final_layer_norm"], x, policy=policy)
+    last_full = layers.layer_norm(params["final_layer_norm"], x, policy=policy)
+    last = (
+        last_full if not clip_skip
+        else layers.layer_norm(params["final_layer_norm"], skip_hidden, policy=policy)
+    )
 
     # EOS pooling: first position holding the EOS token id.
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
-    pooled = jnp.take_along_axis(last, eos_pos[:, None, None], axis=1)[:, 0]
+    pooled = jnp.take_along_axis(last_full, eos_pos[:, None, None], axis=1)[:, 0]
 
     out = {"penultimate": penultimate, "last": last, "pooled": pooled}
     if "text_projection" in params:
@@ -194,10 +212,11 @@ def apply(params, cfg: CLIPTextConfig, input_ids, *, policy: dtypes.Policy = dty
     return out
 
 
-def encode_for_sdxl(params_l, cfg_l, params_g, cfg_g, ids_l, ids_g, *, policy=dtypes.DEFAULT):
+def encode_for_sdxl(params_l, cfg_l, params_g, cfg_g, ids_l, ids_g, *,
+                    policy=dtypes.DEFAULT, clip_skip: int = 0):
     """The SDXL dual-tower conditioning: concat penultimates (768+1280→2048)
     + projected pooled from tower 2 (reference train.py:660-666)."""
-    out_l = apply(params_l, cfg_l, ids_l, policy=policy)
-    out_g = apply(params_g, cfg_g, ids_g, policy=policy)
+    out_l = apply(params_l, cfg_l, ids_l, policy=policy, clip_skip=clip_skip)
+    out_g = apply(params_g, cfg_g, ids_g, policy=policy, clip_skip=clip_skip)
     context = jnp.concatenate([out_l["penultimate"], out_g["penultimate"]], axis=-1)
     return context, out_g["projected"]

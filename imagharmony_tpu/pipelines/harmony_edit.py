@@ -104,6 +104,8 @@ class EditOptions:
     # requires_aesthetics_score=True — diffusers XLImg2Img defaults)
     aesthetic_score: float = 6.0
     negative_aesthetic_score: float = 2.5
+    # condition on an earlier text-encoder layer (diffusers clip_skip)
+    clip_skip: int = 0
 
     def time_ids(self, negative=False, aesthetic=False):
         osz = self.original_size or (self.height, self.width)
@@ -171,21 +173,25 @@ def ip_scale_schedule(opts: EditOptions) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_texts(params, cfgs: comp.ComponentConfigs, ids_l, ids_g, *, policy):
+def encode_texts(params, cfgs: comp.ComponentConfigs, ids_l, ids_g, *, policy,
+                 clip_skip: int = 0):
     """Text conditioning: dual-tower concat for SDXL; single CLIP-L
     last-hidden-state for the SD1.5 family (pooled is None there); bigG
     penultimate + projected-pooled alone for the refiner (diffusers
-    XLImg2Img encode_prompt with one tower)."""
+    XLImg2Img encode_prompt with one tower). clip_skip conditions on an
+    earlier encoder layer (diffusers clip_skip semantics)."""
     if cfgs.family == "sd15":
-        out = clip_text.apply(params["text_encoder"], cfgs.text_l, ids_l, policy=policy)
+        out = clip_text.apply(params["text_encoder"], cfgs.text_l, ids_l,
+                              policy=policy, clip_skip=clip_skip)
         return out["last"], None
     if cfgs.family == "sdxl_refiner":
-        out = clip_text.apply(params["text_encoder_2"], cfgs.text_g, ids_g, policy=policy)
+        out = clip_text.apply(params["text_encoder_2"], cfgs.text_g, ids_g,
+                              policy=policy, clip_skip=clip_skip)
         return out["penultimate"], out["projected"]
     return clip_text.encode_for_sdxl(
         params["text_encoder"], cfgs.text_l,
         params["text_encoder_2"], cfgs.text_g,
-        ids_l, ids_g, policy=policy,
+        ids_l, ids_g, policy=policy, clip_skip=clip_skip,
     )
 
 
@@ -230,7 +236,8 @@ def build_conditioning(params, cfgs: comp.ComponentConfigs, opts: EditOptions,
     breq = ids["pos_l"].shape[0]
     ids_l = jnp.concatenate([ids["neg_l"], ids["pos_l"]], axis=0)
     ids_g = jnp.concatenate([ids["neg_g"], ids["pos_g"]], axis=0)
-    context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy)
+    context, pooled = encode_texts(params, cfgs, ids_l, ids_g, policy=policy,
+                                   clip_skip=opts.clip_skip)
     neg_ctx, pos_ctx = context[:breq], context[breq:]
     if pooled is None:
         neg_pooled = pos_pooled = None
@@ -239,7 +246,8 @@ def build_conditioning(params, cfgs: comp.ComponentConfigs, opts: EditOptions,
 
     extra_ctx = None
     if opts.use_harmony and "extra_l" in ids:
-        extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"], policy=policy)
+        extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"],
+                                    policy=policy, clip_skip=opts.clip_skip)
 
     # --- CFG packing, repeated to num_samples ---
     def rep(x):
@@ -924,6 +932,7 @@ class HarmonyPipeline:
         rescale_zero_snr: bool = False,
         aesthetic_score: float = 6.0,
         negative_aesthetic_score: float = 2.5,
+        clip_skip: int = 0,
     ):
         if callback_on_step_end is not None or chunk_steps is not None:
             # progress-callback path: chunked runner (same math, one extra
@@ -1066,6 +1075,7 @@ class HarmonyPipeline:
             rescale_zero_snr=rescale_zero_snr,
             aesthetic_score=aesthetic_score,
             negative_aesthetic_score=negative_aesthetic_score,
+            clip_skip=clip_skip,
         )
 
         down = self.cfgs.vae.downscale

@@ -85,6 +85,13 @@ class _Request:
             # UNet parametrization is a program property too
             str(p.get("prediction_type", "epsilon")),
             bool(p.get("zero_snr")),
+            # schedule shape (the --fast preset over HTTP: steps=15 +
+            # timestep_spacing=trailing) and CFG rescale are program
+            # properties as well
+            str(p.get("timestep_spacing", "leading")),
+            bool(p.get("use_karras_sigmas")),
+            float(p.get("guidance_rescale", 0.0)),
+            int(p.get("clip_skip", 0)),
             # img2img/inpainting requests run per-request (generate_batch
             # has no init-image packing); key them apart so they never
             # try to pack with plain edits
@@ -191,6 +198,10 @@ class BatchingWorker(threading.Thread):
             encoder_interval=int(first.get("encoder_interval", 1)),
             prediction_type=str(first.get("prediction_type", "epsilon")),
             rescale_zero_snr=bool(first.get("zero_snr")),
+            timestep_spacing=str(first.get("timestep_spacing", "leading")),
+            use_karras=bool(first.get("use_karras_sigmas")),
+            guidance_rescale=float(first.get("guidance_rescale", 0.0)),
+            clip_skip=int(first.get("clip_skip", 0)),
             output_type="pil",
         )
         dt = time.time() - t0
@@ -225,6 +236,10 @@ class BatchingWorker(threading.Thread):
             encoder_interval=int(p.get("encoder_interval", 1)),
             prediction_type=str(p.get("prediction_type", "epsilon")),
             rescale_zero_snr=bool(p.get("zero_snr")),
+            timestep_spacing=str(p.get("timestep_spacing", "leading")),
+            use_karras_sigmas=bool(p.get("use_karras_sigmas")),
+            guidance_rescale=float(p.get("guidance_rescale", 0.0)),
+            clip_skip=int(p.get("clip_skip", 0)),
             init_image=_payload_b64_image(p.get("init_image")),
             mask_image=_payload_b64_image(p.get("mask_image")),
             strength=(float(p["strength"]) if p.get("strength") is not None
@@ -327,6 +342,10 @@ class ContinuousWorker(threading.Thread):
             encoder_interval=int(p.get("encoder_interval", 1)),
             prediction_type=str(p.get("prediction_type", "epsilon")),
             rescale_zero_snr=bool(p.get("zero_snr")),
+            timestep_spacing=str(p.get("timestep_spacing", "leading")),
+            use_karras=bool(p.get("use_karras_sigmas")),
+            guidance_rescale=float(p.get("guidance_rescale", 0.0)),
+            clip_skip=int(p.get("clip_skip", 0)),
         )
         chunk = self.chunk
         if opts.encoder_interval > 1 and chunk % opts.encoder_interval:

@@ -169,3 +169,53 @@ def test_clip_preprocess_matches_hf_processor():
     proc = transformers.CLIPImageProcessor()
     theirs = proc(images=img, return_tensors="np").pixel_values.transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_clip_skip_parity():
+    """clip_skip conditions on an earlier layer: our penultimate at skip=k
+    equals HF hidden_states[-(2+k)], our sd15-style 'last' equals
+    final_layer_norm(hidden_states[-(1+k)]), and pooled stays the FULL
+    tower's pooler output (diffusers clip_skip semantics)."""
+    cfg = clip_text.tiny_config(num_layers=4)
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="quick_gelu",
+        eos_token_id=cfg.eos_token_id,
+        bos_token_id=998,
+    )
+    torch.manual_seed(3)
+    hf = transformers.CLIPTextModel(hf_cfg).eval()
+    template = clip_text.init(0, cfg)
+    params = hf_import.import_tree(template, _flat_numpy(hf), prefix="text_model.")
+    ids = np.array([[998, 5, 6, 7, cfg.eos_token_id] + [0] * 11], np.int64)
+
+    with torch.no_grad():
+        theirs = hf(torch.tensor(ids), output_hidden_states=True)
+        ln = hf.text_model.final_layer_norm
+
+    for skip in (1, 2):
+        ours = clip_text.apply(params, cfg, jnp.array(ids), policy=FP32,
+                               clip_skip=skip)
+        np.testing.assert_allclose(
+            np.asarray(ours["penultimate"]),
+            theirs.hidden_states[-(2 + skip)].numpy(), rtol=1e-4, atol=1e-4,
+        )
+        with torch.no_grad():
+            want_last = ln(theirs.hidden_states[-(1 + skip)]).numpy()
+        np.testing.assert_allclose(
+            np.asarray(ours["last"]), want_last, rtol=1e-4, atol=1e-4,
+        )
+        # pooled is the FULL tower's pooler output regardless of skip
+        np.testing.assert_allclose(
+            np.asarray(ours["pooled"]), theirs.pooler_output.numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    import pytest
+    with pytest.raises(ValueError, match="clip_skip"):
+        clip_text.apply(params, cfg, jnp.array(ids), clip_skip=cfg.num_layers)

@@ -677,3 +677,35 @@ def test_lcm_generate(pipe, ref_image):
         _gen(pipe, ref_image, scheduler="lcm", use_karras_sigmas=True, **kw)
     with pytest.raises(ValueError, match="denoising"):
         _gen(pipe, ref_image, scheduler="lcm", denoising_end=0.8, **kw)
+
+
+def test_clip_skip_generate(ref_image):
+    """clip_skip=1 (condition on an earlier text-encoder layer — diffusers
+    clip_skip, for checkpoints fine-tuned that way) changes the output and
+    threads through the one-jit path; out-of-range values raise."""
+    import dataclasses as dc
+
+    from imagharmony_tpu.models import tokenizer as tok_lib
+    from imagharmony_tpu.pipelines import components as comp
+
+    toy = tok_lib.build_toy_tokenizer()
+    cfgs = comp.tiny_configs(vocab_size=len(toy.encoder))
+    cfgs = dc.replace(
+        cfgs,
+        text_l=dc.replace(cfgs.text_l, num_layers=3),
+        text_g=dc.replace(cfgs.text_g, num_layers=3),
+    )
+    params = comp.init_params(0, cfgs)
+    deep = HarmonyPipeline(params, cfgs, tok_lib.SDXLTokenizers(toy, toy))
+
+    kw = dict(pil_image=ref_image, prompt="a dog", extra_text="six dogs",
+              num_inference_steps=2, height=32, width=32, seed=7,
+              output_type="np")
+    a = deep.generate(**kw)
+    b = deep.generate(clip_skip=1, **kw)
+    assert a.shape == b.shape == (1, 32, 32, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+    np.testing.assert_array_equal(b, deep.generate(clip_skip=1, **kw))
+
+    with pytest.raises(ValueError, match="clip_skip"):
+        deep.generate(clip_skip=2, **kw)

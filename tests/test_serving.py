@@ -184,3 +184,39 @@ def test_edit_img2img_inpaint_payload(server):
                               "mask_image": b64(mask)}).batch_key()
     k_pred = serving._Request({**base, "prediction_type": "v_prediction"}).batch_key()
     assert k_plain != k_inp and k_plain != k_pred
+
+
+def test_edit_schedule_shape_payload(server):
+    """timestep_spacing / use_karras_sigmas / guidance_rescale / lcm payload
+    fields: the --fast preset (steps + trailing spacing) and the
+    distilled-checkpoint operating point (lcm + guidance 1) are reachable
+    over HTTP; schedule-shape fields split the batch key."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+
+    def b64(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    base = {
+        "image": b64(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)),
+        "prompt": "a dog", "extra_text": "six dogs",
+        "steps": 2, "height": 32, "width": 32, "seed": 5,
+    }
+    out = _post(server, {**base, "timestep_spacing": "trailing",
+                         "guidance_rescale": 0.7})
+    assert "image" in out
+    out2 = _post(server, {**base, "scheduler": "lcm", "steps": 2,
+                          "guidance_scale": 1.0})
+    assert "image" in out2
+    out3 = _post(server, {**base, "scheduler": "dpm++",
+                          "use_karras_sigmas": True})
+    assert "image" in out3
+
+    k_plain = serving._Request(base).batch_key()
+    k_sp = serving._Request({**base, "timestep_spacing": "trailing"}).batch_key()
+    k_kr = serving._Request({**base, "use_karras_sigmas": True}).batch_key()
+    k_gr = serving._Request({**base, "guidance_rescale": 0.7}).batch_key()
+    assert len({k_plain, k_sp, k_kr, k_gr}) == 4
