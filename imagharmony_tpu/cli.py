@@ -43,6 +43,13 @@ def _add_edit_args(p):
                         "merge); an optional :SCALE suffix overrides "
                         "--lora-scale per adapter")
     p.add_argument("--lora-scale", type=float, default=1.0)
+    p.add_argument("--textual-inversion", action="append", default=None,
+                   metavar="PATH[:TOKEN]",
+                   help="learned textual-inversion embedding (safetensors; "
+                        "SDXL dual {clip_l, clip_g} or single-tower "
+                        "token-keyed). Repeatable — one per concept; the "
+                        "optional :TOKEN suffix overrides the placeholder "
+                        "name")
     p.add_argument("--image-encoder-dir", default=None)
     p.add_argument("--controlnet-dir", default=None,
                    help="diffusers ControlNetModel directory (optional)")
@@ -120,7 +127,10 @@ def _save_attn_maps(pipe, image, args):
 
 def _merge_loras(pipe, args):
     """Merge every --lora PATH[:SCALE] into the pipeline's UNet (repeatable
-    flag — the merges are additive and order-independent)."""
+    flag — the merges are additive and order-independent), then install
+    every --textual-inversion PATH[:TOKEN] embedding."""
+    import os as _os
+
     from imagharmony_tpu.adapters import lora as lora_lib
 
     specs = getattr(args, "lora", None) or []
@@ -132,6 +142,13 @@ def _merge_loras(pipe, args):
         )
         pipe = pipe.with_lora(path, scale=scale)
         print(f"merged LoRA {path} (scale {scale})")
+    for spec in getattr(args, "textual_inversion", None) or []:
+        path, token = spec, None
+        if ":" in spec and not _os.path.exists(spec):
+            path, token = spec.rsplit(":", 1)
+        pipe = pipe.with_textual_inversion(path, token=token)
+        print(f"installed textual inversion {path}"
+              + (f" as {token}" if token else ""))
     return pipe
 
 
@@ -399,6 +416,10 @@ def main(argv=None):
                          help="lora-N.safetensors merged into the UNet at "
                               "startup (repeatable; :SCALE suffix per adapter)")
     p_serve.add_argument("--lora-scale", type=float, default=1.0)
+    p_serve.add_argument("--textual-inversion", action="append", default=None,
+                         metavar="PATH[:TOKEN]",
+                         help="textual-inversion embedding(s) installed at "
+                              "startup (repeatable)")
     p_serve.add_argument("--continuous", action="store_true",
                          help="continuous batching: admit requests mid-denoise")
     p_serve.add_argument("--turbo", action="store_true",

@@ -212,6 +212,31 @@ def apply(params, cfg: CLIPTextConfig, input_ids, *,
     return out
 
 
+def extend_token_embeddings(params, cfg: CLIPTextConfig, new_rows):
+    """Append learned embedding rows to the token table (textual
+    inversion): returns ``(new_params, new_cfg, first_new_id)``. The rest
+    of the tree is shared (no copies of the transformer weights)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    table = params["embeddings"]["token_embedding"]["weight"]
+    rows = np.asarray(new_rows)
+    if rows.ndim == 1:
+        rows = rows[None]
+    if rows.shape[-1] != table.shape[-1]:
+        raise ValueError(
+            f"embedding dim {rows.shape[-1]} != tower hidden {table.shape[-1]}"
+        )
+    table_np = np.asarray(table)
+    new_table = np.concatenate([table_np, rows.astype(table_np.dtype)], axis=0)
+    new_params = dict(params)
+    new_params["embeddings"] = dict(params["embeddings"])
+    new_params["embeddings"]["token_embedding"] = {"weight": new_table}
+    new_cfg = _dc.replace(cfg, vocab_size=int(new_table.shape[0]))
+    return new_params, new_cfg, int(table_np.shape[0])
+
+
 def encode_for_sdxl(params_l, cfg_l, params_g, cfg_g, ids_l, ids_g, *,
                     policy=dtypes.DEFAULT, clip_skip: int = 0):
     """The SDXL dual-tower conditioning: concat penultimates (768+1280→2048)

@@ -82,6 +82,10 @@ class CLIPTokenizer:
         self.pad_token_id = self.encoder[pad]
         self.model_max_length = model_max_length
         self._cache = {bos_token: bos_token, eos_token: eos_token}
+        # literal tokens that bypass BPE, each expanding to a list of ids
+        # (textual-inversion placeholders; multi-vector embeddings expand
+        # to several consecutive ids)
+        self.added_tokens: dict = {}
 
     # -- construction -----------------------------------------------------
 
@@ -149,6 +153,36 @@ class CLIPTokenizer:
             out.extend(self._bpe(tok).split(" "))
         return out
 
+    def add_token(self, name, ids):
+        """Register a literal token that bypasses BPE and expands to
+        ``ids`` — the textual-inversion placeholder mechanism (HF
+        added-tokens role; a multi-vector embedding's single prompt token
+        expands to its n consecutive ids, diffusers
+        maybe_convert_prompt semantics). Lower-case names only — CLIP
+        tokenization lowercases its input."""
+        if name != name.lower():
+            raise ValueError(f"added tokens must be lower-case, got {name!r}")
+        if name in self.encoder:
+            raise ValueError(f"token {name!r} already in the vocab")
+        self.added_tokens[name] = [int(i) for i in ids]
+
+    def _segments(self, text):
+        """Split normalized text into (segment, ids|None) pieces around the
+        added tokens (longest-first, so overlapping names resolve to the
+        most specific)."""
+        if not self.added_tokens:
+            return [(text, None)]
+        pat = re.compile(
+            "(" + "|".join(
+                re.escape(t)
+                for t in sorted(self.added_tokens, key=len, reverse=True)
+            ) + ")"
+        )
+        return [
+            (part, self.added_tokens.get(part))
+            for part in pat.split(text) if part
+        ]
+
     def encode(self, text, *, pad_to_max=True, max_length=None):
         """text -> list of ids: [BOS] tokens [EOS] (+ padding).
 
@@ -156,7 +190,13 @@ class CLIPTokenizer:
         truncation=True semantics the reference relies on,
         train.py:107-113)."""
         max_length = max_length or self.model_max_length
-        ids = [self.encoder[t] for t in self.tokenize(text)]
+        text = _WHITESPACE.sub(" ", text).strip().lower()
+        ids = []
+        for seg, seg_ids in self._segments(text):
+            if seg_ids is not None:
+                ids.extend(seg_ids)
+            else:
+                ids.extend(self.encoder[t] for t in self.tokenize(seg))
         ids = [self.bos_token_id] + ids[: max_length - 2] + [self.eos_token_id]
         if pad_to_max and len(ids) < max_length:
             ids = ids + [self.pad_token_id] * (max_length - len(ids))
@@ -168,7 +208,15 @@ class CLIPTokenizer:
         return np.asarray([self.encode(t, **kw) for t in texts], dtype=np.int32)
 
     def decode(self, ids, *, skip_special=True):
-        toks = [self.decoder[int(i)] for i in ids]
+        added_rev = {
+            i: name + "</w>"
+            for name, ids_ in self.added_tokens.items() for i in ids_
+        }
+        toks = [
+            self.decoder[int(i)] if int(i) in self.decoder
+            else added_rev[int(i)]
+            for i in ids
+        ]
         if skip_special:
             toks = [t for t in toks if t not in (self.bos_token, self.eos_token)]
         text = "".join(toks)

@@ -810,6 +810,93 @@ class HarmonyPipeline:
         clone._tp = tensor_parallel
         return clone
 
+    def with_textual_inversion(self, source, token=None):
+        """Clone with a learned textual-inversion embedding installed
+        (diffusers load_textual_inversion role, beyond the reference):
+        the placeholder ``token`` becomes a literal tokenizer token whose
+        id rows are appended to the text tower's embedding table; a
+        multi-vector embedding's single prompt token expands to its n ids.
+
+        ``source`` is a safetensors path or a ``{key: (n, D) array}`` dict:
+        SDXL uses the dual-tower format ``{"clip_l": ..., "clip_g": ...}``;
+        single-tower families (SD1.5 / refiner) take one entry whose key is
+        the token name (or pass ``token=`` explicitly). Chainable — call
+        once per concept."""
+        import copy
+
+        import numpy as np
+
+        if isinstance(source, (str, bytes)):
+            from imagharmony_tpu.io import safetensors_io
+
+            tensors, _meta = safetensors_io.load(source)
+        else:
+            tensors = dict(source)
+
+        dual = "clip_l" in tensors and "clip_g" in tensors
+        if not dual and len(tensors) != 1:
+            raise ValueError(
+                "expected {'clip_l','clip_g'} (SDXL) or a single "
+                f"token-keyed entry, got keys {sorted(tensors)}"
+            )
+        if token is None:
+            token = "<concept>" if dual else next(iter(tensors))
+        token = token.lower()
+
+        # (param_key, cfg_field, tokenizer_attr, rows) per tower
+        jobs = []
+        if self.cfgs.family == "sd15":
+            rows = tensors[next(iter(tensors))]
+            jobs.append(("text_encoder", "text_l", "tok1", rows))
+        elif self.cfgs.family == "sdxl_refiner":
+            rows = tensors["clip_g"] if dual else tensors[next(iter(tensors))]
+            jobs.append(("text_encoder_2", "text_g", "tok2", rows))
+        else:
+            if not dual:
+                raise ValueError(
+                    "SDXL textual inversion needs the dual-tower format "
+                    "{'clip_l': (n, 768), 'clip_g': (n, 1280)}"
+                )
+            jobs.append(("text_encoder", "text_l", "tok1", tensors["clip_l"]))
+            jobs.append(("text_encoder_2", "text_g", "tok2", tensors["clip_g"]))
+
+        import dataclasses as _dc
+
+        clone = object.__new__(HarmonyPipeline)
+        clone.__dict__.update(self.__dict__)
+        clone.params = dict(self.params)
+        cfgs = self.cfgs
+        toks = {
+            "tok1": copy.copy(self.tokenizers.tok1),
+            "tok2": copy.copy(self.tokenizers.tok2),
+        }
+        # independent added-token maps even when tok1 is tok2 (toy setups)
+        for t in toks.values():
+            t.added_tokens = dict(t.added_tokens)
+
+        n_vec = None
+        for pkey, cfield, tattr, rows in jobs:
+            rows = np.atleast_2d(np.asarray(rows, np.float32))
+            if n_vec is None:
+                n_vec = rows.shape[0]
+            elif rows.shape[0] != n_vec:
+                raise ValueError("clip_l/clip_g vector counts differ")
+            params_host = jax.device_get(self.params[pkey])
+            new_p, new_c, first = clip_text.extend_token_embeddings(
+                params_host, getattr(cfgs, cfield), rows
+            )
+            clone.params[pkey] = jax.device_put(new_p)
+            cfgs = _dc.replace(cfgs, **{cfield: new_c})
+            toks[tattr].add_token(token, range(first, first + rows.shape[0]))
+        clone.cfgs = cfgs
+        from imagharmony_tpu.models import tokenizer as tok_lib
+
+        clone.tokenizers = tok_lib.SDXLTokenizers(toks["tok1"], toks["tok2"])
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            return clone.with_mesh(mesh, tensor_parallel=getattr(self, "_tp", False))
+        return clone
+
     def with_lora(self, lora, *, scale=1.0, lora_cfg=None):
         """Clone with LoRA factors merged into the UNet weights (exact:
         ``W + scale*(alpha/r)*A@B``, adapters/lora.py — zero runtime cost
