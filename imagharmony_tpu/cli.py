@@ -96,6 +96,10 @@ def _add_edit_args(p):
     p.add_argument("--karras", action="store_true",
                    help="Karras rho=7 sigma spacing (arXiv 2206.00364; "
                         "euler/dpm++ only — diffusers use_karras_sigmas)")
+    p.add_argument("--prompt-weighting", action="store_true",
+                   help="parse the (word:1.5)/[word] attention grammar in "
+                        "prompt/negative prompt (A1111 semantics; off = "
+                        "brackets stay literal, matching the reference)")
     p.add_argument("--clip-skip", type=int, default=0,
                    help="condition on an earlier text-encoder layer "
                         "(diffusers clip_skip; for checkpoints fine-tuned "
@@ -194,6 +198,7 @@ def cmd_edit(args):
         prediction_type=getattr(args, "prediction_type", "epsilon"),
         rescale_zero_snr=getattr(args, "zero_snr", False),
         clip_skip=getattr(args, "clip_skip", 0),
+        prompt_weighting=getattr(args, "prompt_weighting", False),
         seed=args.seed,
         num_samples=args.num_samples,
         height=args.height,

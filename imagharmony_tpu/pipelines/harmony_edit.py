@@ -244,6 +244,23 @@ def build_conditioning(params, cfgs: comp.ComponentConfigs, opts: EditOptions,
     else:
         neg_pooled, pos_pooled = pooled[:breq], pooled[breq:]
 
+    # prompt-attention weights (utils/prompts.py, opt-in): scale each
+    # token's context embedding, then restore the per-row mean (the A1111
+    # application rule). Applied to the combined context so both towers'
+    # halves scale together; pooled embeds stay unweighted.
+    def apply_w(ctx, w):
+        z = ctx.astype(jnp.float32)
+        mean0 = z.mean(axis=(1, 2), keepdims=True)
+        z = z * w[:, :, None]
+        mean1 = z.mean(axis=(1, 2), keepdims=True)
+        ratio = jnp.where(jnp.abs(mean1) < 1e-7, 1.0, mean0 / mean1)
+        return (z * ratio).astype(ctx.dtype)
+
+    if "pos_w" in ids:
+        pos_ctx = apply_w(pos_ctx, ids["pos_w"])
+    if "neg_w" in ids:
+        neg_ctx = apply_w(neg_ctx, ids["neg_w"])
+
     extra_ctx = None
     if opts.use_harmony and "extra_l" in ids:
         extra_ctx, _ = encode_texts(params, cfgs, ids["extra_l"], ids["extra_g"],
@@ -968,6 +985,42 @@ class HarmonyPipeline:
         max_l = tcfg.max_position_embeddings
         return jnp.asarray(ids1[:, :max_l]), jnp.asarray(ids2[:, :max_l])
 
+    def _tokenize_weighted(self, text):
+        """Tokenize with the A1111 ``(word:1.5)`` attention grammar
+        (utils/prompts.py): returns ``(ids_l, ids_g, weights|None)``.
+        weights is None when the prompt carries no weighting syntax — the
+        ids then equal the plain ``_tokenize`` output exactly. Weighted
+        prompts are tokenized fragment-wise so the weight vector aligns
+        with the ids by construction (the A1111 chunking rule)."""
+        from imagharmony_tpu.utils import prompts
+
+        frags = prompts.parse_prompt_attention(text or "")
+        if not prompts.is_weighted(frags):
+            return self._tokenize(prompts.plain_text(frags)) + (None,)
+        tcfg = self.cfgs.text_l or self.cfgs.text_g
+        max_l = tcfg.max_position_embeddings
+
+        def build(tok):
+            toks, ws = [], []
+            for frag, w in frags:
+                fids = tok.encode(frag, pad_to_max=False)[1:-1]
+                toks.extend(fids)
+                ws.extend([w] * len(fids))
+            toks, ws = toks[: max_l - 2], ws[: max_l - 2]
+            ids = [tok.bos_token_id] + toks + [tok.eos_token_id]
+            ids += [tok.pad_token_id] * (max_l - len(ids))
+            ws = [1.0] + ws + [1.0] * (max_l - 1 - len(ws))
+            return np.asarray([ids], np.int32), np.asarray([ws], np.float32)
+
+        i1, w1 = build(self.tokenizers.tok1)
+        i2, w2 = build(self.tokenizers.tok2)
+        if not np.array_equal(w1, w2):  # same BPE -> same counts; guard
+            raise ValueError(
+                "the two text towers tokenize the weighted prompt to "
+                "different lengths — prompt weighting needs aligned tokens"
+            )
+        return jnp.asarray(i1), jnp.asarray(i2), w1
+
     def set_scale(self, scale: float):
         """Kept for API familiarity (reference ip_adapter.py:179-182);
         prefer passing scale= to generate()."""
@@ -1020,8 +1073,14 @@ class HarmonyPipeline:
         aesthetic_score: float = 6.0,
         negative_aesthetic_score: float = 2.5,
         clip_skip: int = 0,
+        prompt_weighting: bool = False,
     ):
         if callback_on_step_end is not None or chunk_steps is not None:
+            if prompt_weighting:
+                raise ValueError(
+                    "prompt_weighting is not supported on the chunked/"
+                    "continuous runner; use the one-jit path"
+                )
             # progress-callback path: chunked runner (same math, one extra
             # dispatch per chunk; reference demo.py:112,127 progress role)
             from imagharmony_tpu.pipelines import continuous
@@ -1123,8 +1182,16 @@ class HarmonyPipeline:
             pixel_values = jnp.asarray(pixel_values[:1])
 
         ids = {}
-        ids["pos_l"], ids["pos_g"] = self._tokenize(prompt)
-        ids["neg_l"], ids["neg_g"] = self._tokenize(negative_prompt)
+        if prompt_weighting:
+            ids["pos_l"], ids["pos_g"], w_pos = self._tokenize_weighted(prompt)
+            ids["neg_l"], ids["neg_g"], w_neg = self._tokenize_weighted(negative_prompt)
+            if w_pos is not None:
+                ids["pos_w"] = jnp.asarray(w_pos)
+            if w_neg is not None:
+                ids["neg_w"] = jnp.asarray(w_neg)
+        else:
+            ids["pos_l"], ids["pos_g"] = self._tokenize(prompt)
+            ids["neg_l"], ids["neg_g"] = self._tokenize(negative_prompt)
         if extra_text is not None:
             ids["extra_l"], ids["extra_g"] = self._tokenize(extra_text)
 

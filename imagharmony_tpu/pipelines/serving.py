@@ -92,6 +92,9 @@ class _Request:
             bool(p.get("use_karras_sigmas")),
             float(p.get("guidance_rescale", 0.0)),
             int(p.get("clip_skip", 0)),
+            # weighted prompts run per-request (generate_batch has no
+            # per-row weight packing); key them apart
+            bool(p.get("prompt_weighting")),
             # img2img/inpainting requests run per-request (generate_batch
             # has no init-image packing); key them apart so they never
             # try to pack with plain edits
@@ -144,7 +147,9 @@ class BatchingWorker(threading.Thread):
 
     def _run_group(self, group):
         if len(group) > 1 and not (
-            group[0].payload.get("init_image") or group[0].payload.get("mask_image")
+            group[0].payload.get("init_image")
+            or group[0].payload.get("mask_image")
+            or group[0].payload.get("prompt_weighting")
         ):
             try:
                 self._run_packed(group)
@@ -240,6 +245,7 @@ class BatchingWorker(threading.Thread):
             use_karras_sigmas=bool(p.get("use_karras_sigmas")),
             guidance_rescale=float(p.get("guidance_rescale", 0.0)),
             clip_skip=int(p.get("clip_skip", 0)),
+            prompt_weighting=bool(p.get("prompt_weighting")),
             init_image=_payload_b64_image(p.get("init_image")),
             mask_image=_payload_b64_image(p.get("mask_image")),
             strength=(float(p["strength"]) if p.get("strength") is not None

@@ -709,3 +709,74 @@ def test_clip_skip_generate(ref_image):
 
     with pytest.raises(ValueError, match="clip_skip"):
         deep.generate(clip_skip=2, **kw)
+
+
+def test_parse_prompt_attention():
+    """The A1111 attention grammar: (x) = 1.1, [x] = 1/1.1, (x:w) = w,
+    nesting multiplies, escapes stay literal, unmatched closers are
+    literal, unclosed openers apply to the tail."""
+    from imagharmony_tpu.utils import prompts
+
+    pa = prompts.parse_prompt_attention
+    assert pa("a dog") == [["a dog", 1.0]]
+    assert pa("a (dog)") == [["a ", 1.0], ["dog", 1.1]]
+    assert pa("a (dog:1.5) c") == [["a ", 1.0], ["dog", 1.5], [" c", 1.0]]
+    assert pa("[dog]") == [["dog", 1.0 / 1.1]]
+    ((frag, w),) = pa("((dog))")
+    assert frag == "dog" and abs(w - 1.21) < 1e-9
+    assert pa(r"\(literal\)") == [["(literal)", 1.0]]
+    assert pa("a )") == [["a )", 1.0]]          # unmatched closer: literal
+    assert pa("(tail") == [["tail", 1.1]]        # unclosed opener: to end
+    ((f1, w1), (f2, w2)) = pa("(a (b:2))")
+    assert (f1, round(w1, 3)) == ("a ", 1.1) and (f2, w2) == ("b", 2.2)
+    assert pa("") == [["", 1.0]]
+    assert not prompts.is_weighted(pa("plain"))
+    assert prompts.is_weighted(pa("(x)"))
+    assert prompts.plain_text(pa("a (dog:1.5) c")) == "a dog c"
+
+
+def test_prompt_weighting_generate(pipe, ref_image):
+    """Opt-in prompt weighting: no syntax -> bit-identical to the flag-off
+    path (no weight operands enter the jit); weighted prompts change the
+    output monotonically with the weight; chunked runner rejects it."""
+    kw = dict(num_inference_steps=2, output_type="np")
+    plain = _gen(pipe, ref_image, **kw)
+    flag_on = _gen(pipe, ref_image, prompt_weighting=True, **kw)
+    np.testing.assert_array_equal(plain, flag_on)
+
+    up = _gen(pipe, ref_image, prompt="a (dog:2.0)", prompt_weighting=True, **kw)
+    assert np.abs(up.astype(int) - plain.astype(int)).max() > 0
+    # without the flag the brackets are literal tokens — different from both
+    lit = _gen(pipe, ref_image, prompt="a (dog:2.0)", **kw)
+    assert np.abs(lit.astype(int) - up.astype(int)).max() > 0
+
+    # weighting the negative prompt also threads through
+    negw = _gen(pipe, ref_image, negative_prompt="(low quality:1.8)",
+                prompt_weighting=True, **kw)
+    assert np.abs(negw.astype(int) - plain.astype(int)).max() > 0
+
+    import pytest
+    with pytest.raises(ValueError, match="prompt_weighting"):
+        _gen(pipe, ref_image, prompt="a (dog:2.0)", prompt_weighting=True,
+             chunk_steps=2, **kw)
+
+
+def test_tokenize_weighted_alignment(pipe):
+    """The weight vector aligns with the fragment-wise ids: BOS/EOS/pad
+    carry weight 1, the weighted fragment's tokens carry its weight."""
+    ids_l, ids_g, w = pipe._tokenize_weighted("a (dog:1.5)")
+    assert w is not None and w.shape == (1, ids_l.shape[1])
+    tok = pipe.tokenizers.tok1
+    n_a = len(tok.encode("a ", pad_to_max=False)) - 2
+    n_dog = len(tok.encode("dog", pad_to_max=False)) - 2
+    expect = [1.0] + [1.0] * n_a + [1.5] * n_dog
+    np.testing.assert_allclose(w[0, : len(expect)], expect)
+    assert (w[0, len(expect):] == 1.0).all()
+    # ids equal the plain tokenization of the cleaned prompt here (the
+    # fragment boundary falls on a word boundary)
+    pl, pg = pipe._tokenize("a dog")
+    np.testing.assert_array_equal(np.asarray(ids_l), np.asarray(pl))
+    # no syntax -> weights None and ids equal the plain path
+    il, ig, w0 = pipe._tokenize_weighted("a dog")
+    assert w0 is None
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(pl))
