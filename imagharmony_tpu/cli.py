@@ -53,6 +53,14 @@ def _add_edit_args(p):
     p.add_argument("--image-encoder-dir", default=None)
     p.add_argument("--controlnet-dir", default=None,
                    help="diffusers ControlNetModel directory (optional)")
+    p.add_argument("--refiner-dir", default=None,
+                   help="SDXL refiner checkpoint directory: run the "
+                        "mixture-of-denoisers ensemble — the base model "
+                        "denoises [0, --denoising-end), the refiner "
+                        "finishes from its latents")
+    p.add_argument("--denoising-end", type=float, default=None,
+                   help="base/refiner split point (default 0.8 with "
+                        "--refiner-dir; diffusers ensemble default)")
     p.add_argument("--control-image", default=None,
                    help="conditioning image for the ControlNet branch")
     p.add_argument("--init-image", default=None,
@@ -207,6 +215,7 @@ def cmd_edit(args):
         tile_vae=args.tile_vae,
         output_type="pil",
     )
+    refiner_dir = getattr(args, "refiner_dir", None)
     if pipe.cfgs.vision is None:
         # refiner family: no image prompt — --input is the image being
         # refined (img2img), unless an explicit --init-image was given
@@ -216,6 +225,28 @@ def cmd_edit(args):
                 kw["strength"] = 0.3
         kw.pop("scale")
         images = pipe.generate(**kw)
+    elif refiner_dir:
+        # mixture-of-denoisers ensemble (diffusers base+refiner recipe,
+        # through the reference custom pipeline's denoising_end handoff,
+        # custom_pipelines.py:308-316): base runs [0, end), the refiner
+        # consumes its latents with denoising_start=end
+        import numpy as _np
+
+        end = getattr(args, "denoising_end", None) or 0.8
+        lat = pipe.generate(pil_image=image, denoising_end=end, **kw)
+        refiner = checkpoints.load_pipeline(model_dir=refiner_dir)
+        rkw = {
+            k: kw[k] for k in (
+                "prompt", "negative_prompt", "guidance_scale",
+                "num_inference_steps", "timestep_spacing",
+                "use_karras_sigmas", "seed", "num_samples", "height",
+                "width", "scheduler", "tile_vae",
+            )
+        }
+        images = refiner.generate(
+            latents=_np.asarray(lat), denoising_start=end,
+            output_type="pil", **rkw,
+        )
     elif args.pns:
         from imagharmony_tpu.pipelines import pns
 

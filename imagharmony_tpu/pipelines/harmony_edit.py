@@ -270,8 +270,10 @@ def build_conditioning(params, cfgs: comp.ComponentConfigs, opts: EditOptions,
     def rep(x):
         return jnp.repeat(x, num_samples, axis=0)
 
-    # --- image prompt tokens (absent for the refiner — proj_kind "none") ---
-    if cfgs.proj_kind == "none":
+    # --- image prompt tokens (absent for the refiner — proj_kind "none" —
+    # and for plain text-to-image runs, where no reference image is given
+    # and the IP branch stays off) ---
+    if cfgs.proj_kind == "none" or pixel_values is None:
         ip2 = None
     else:
         ip_cond, ip_uncond = image_prompt_tokens(
@@ -1174,6 +1176,11 @@ class HarmonyPipeline:
                     f"{self.cfgs.family}); pass init_image=/latents= to "
                     "refine an image, not pil_image="
                 )
+        elif pil_image is None and pixel_values is None:
+            # plain text-to-image: no reference image, IP branch off
+            # (diffusers StableDiffusionXLPipeline role — beyond the
+            # reference, whose generate() requires the image prompt)
+            pass
         else:
             if pixel_values is None:
                 pixel_values = clip_vision.preprocess_numpy(
@@ -1337,6 +1344,9 @@ class HarmonyPipeline:
                     "this pipeline has no image encoder (family="
                     f"{self.cfgs.family}); pass images=None"
                 )
+            pixel_values = None
+        elif images is None or all(im is None for im in images):
+            # plain text-to-image rows (IP branch off for the whole batch)
             pixel_values = None
         else:
             pixel_values = jnp.asarray(

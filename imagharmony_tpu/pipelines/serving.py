@@ -95,6 +95,9 @@ class _Request:
             # weighted prompts run per-request (generate_batch has no
             # per-row weight packing); key them apart
             bool(p.get("prompt_weighting")),
+            # text-to-image (no reference image) is a different program
+            # than an IP-conditioned edit — never mix in one batch
+            bool(p.get("image")),
             # img2img/inpainting requests run per-request (generate_batch
             # has no init-image packing); key them apart so they never
             # try to pack with plain edits
@@ -261,15 +264,13 @@ class BatchingWorker(threading.Thread):
 
 
 def _payload_image(p):
+    """The reference-image payload field, or None — a request without an
+    image runs plain text-to-image (IP branch off)."""
     from PIL import Image
 
     if p.get("image"):
         return Image.open(io.BytesIO(base64.b64decode(p["image"])))
-    return Image.fromarray(
-        np.random.default_rng(int(p.get("seed", 0))).integers(
-            0, 255, (64, 64, 3), dtype=np.uint8
-        )
-    )
+    return None
 
 
 def _payload_b64_image(b64str):
@@ -365,9 +366,10 @@ class ContinuousWorker(threading.Thread):
     def _admit(self, engine, req):
         p = req.payload
         control = _payload_control(p)
+        img = _payload_image(p)
         engine.admit(
             req,
-            pil_image=np.asarray(_payload_image(p).convert("RGB")),
+            pil_image=np.asarray(img.convert("RGB")) if img is not None else None,
             prompt=p.get("prompt") or None,
             negative_prompt=p.get("negative_prompt") or None,
             extra_text=p.get("extra_text") or None,

@@ -780,3 +780,29 @@ def test_tokenize_weighted_alignment(pipe):
     il, ig, w0 = pipe._tokenize_weighted("a dog")
     assert w0 is None
     np.testing.assert_array_equal(np.asarray(il), np.asarray(pl))
+
+
+def test_text_to_image_mode(pipe, ref_image):
+    """No reference image -> plain text-to-image (diffusers
+    StableDiffusionXLPipeline role, beyond the reference whose generate()
+    requires the image prompt): the IP branch is off, output is
+    deterministic per seed and differs from the image-prompted edit."""
+    kw = dict(prompt="a dog", num_inference_steps=2, height=32, width=32,
+              seed=7, output_type="np")
+    t2i = pipe.generate(**kw)
+    assert t2i.shape == (1, 32, 32, 3)
+    np.testing.assert_array_equal(t2i, pipe.generate(**kw))
+    edited = pipe.generate(pil_image=ref_image, **kw)
+    assert np.abs(t2i.astype(int) - edited.astype(int)).max() > 0
+    # scale-0 edit is mathematically t2i (the IP branch multiplies to
+    # zero) but compiles to a different program (the ip subgraph still
+    # exists), so assert near-equality, not bit-equality
+    off = pipe.generate(pil_image=ref_image, scale=0.0, **kw)
+    assert np.abs(t2i.astype(int) - off.astype(int)).max() <= 2
+
+    # batched t2i rows
+    pb = pipe.generate_batch(
+        None, ["a dog", "a cat"], seeds=[1, 2], height=32, width=32,
+        num_inference_steps=2, output_type="np",
+    )
+    assert pb.shape[0] == 2

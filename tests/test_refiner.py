@@ -227,3 +227,114 @@ def test_seed_ip_weights():
     assert kept.keys() == flat.keys()
     key = next(k for k in flat if k.endswith("to_k_ip.weight"))
     np.testing.assert_array_equal(kept[key], flat[key])
+
+
+def test_load_refiner_pipeline_dir(tmp_path):
+    """A synthesized refiner checkpoint directory (model_index class
+    XLImg2Img, tokenizer_2/text_encoder_2 only, per-submodel config.json
+    with non-default dims) auto-detects as sdxl_refiner, builds its
+    configs FROM the config.json files, and generates — the full
+    load_pipeline assembly for the second SDXL family."""
+    from imagharmony_tpu.io import checkpoints, hf_import, safetensors_io
+    from imagharmony_tpu.models import tokenizer as tok_lib
+
+    root = tmp_path / "refiner_ckpt"
+    root.mkdir()
+    toy = tok_lib.build_toy_tokenizer()
+    cfgs = comp.sdxl_refiner_tiny_configs(vocab_size=len(toy.encoder))
+    params = comp.init_params(0, cfgs)
+
+    def write(subdir, flat, fname="diffusion_pytorch_model.safetensors"):
+        d = root / subdir
+        d.mkdir()
+        safetensors_io.save(d / fname, flat)
+        return d
+
+    u = cfgs.unet
+    ud = write("unet", hf_import.export_tree(params["unet"]))
+    (ud / "config.json").write_text(json.dumps({
+        "sample_size": u.sample_size,
+        "block_out_channels": list(u.block_out_channels),
+        "down_block_types": list(u.down_block_types),
+        "up_block_types": list(u.up_block_types),
+        "layers_per_block": u.layers_per_block,
+        "transformer_layers_per_block": list(u.transformer_layers_per_block),
+        "num_attention_heads": list(u.num_attention_heads),
+        "attention_head_dim": u.attention_head_dim,
+        "cross_attention_dim": u.cross_attention_dim,
+        "norm_num_groups": u.norm_num_groups,
+        "addition_embed_type": "text_time",
+        "addition_time_embed_dim": u.addition_time_embed_dim,
+        "projection_class_embeddings_input_dim":
+            u.projection_class_embeddings_input_dim,
+    }))
+    v = cfgs.vae
+    vd = write("vae", hf_import.export_tree(params["vae"]))
+    (vd / "config.json").write_text(json.dumps({
+        "block_out_channels": list(v.block_out_channels),
+        "layers_per_block": v.layers_per_block,
+        "norm_num_groups": v.norm_num_groups,
+        "scaling_factor": v.scaling_factor,
+        "latent_channels": v.latent_channels,
+    }))
+    te2 = hf_import.export_tree(params["text_encoder_2"], prefix="text_model.")
+    te2 = {
+        k.replace("text_model.text_projection", "text_projection"): val
+        for k, val in te2.items()
+    }
+    td = write("text_encoder_2", te2, "model.safetensors")
+    t = cfgs.text_g
+    (td / "config.json").write_text(json.dumps({
+        "vocab_size": t.vocab_size,
+        "hidden_size": t.hidden_size,
+        "num_hidden_layers": t.num_layers,
+        "num_attention_heads": t.num_heads,
+        "intermediate_size": t.intermediate_size,
+        "max_position_embeddings": t.max_position_embeddings,
+        "hidden_act": t.hidden_act,
+        "projection_dim": t.projection_dim,
+        "eos_token_id": t.eos_token_id,
+        "architectures": ["CLIPTextModelWithProjection"],
+    }))
+    tok_dir = root / "tokenizer_2"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.json").write_text(json.dumps(toy.encoder))
+    merges = sorted(toy.bpe_ranks, key=toy.bpe_ranks.get)
+    (tok_dir / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges) + "\n"
+    )
+    (root / "model_index.json").write_text(json.dumps({
+        "_class_name": "StableDiffusionXLImg2ImgPipeline",
+        "requires_aesthetics_score": True,
+    }))
+
+    assert checkpoints.detect_family(str(root)) == "sdxl_refiner"
+    pipe = checkpoints.load_pipeline(model_dir=str(root))
+    assert pipe.cfgs.family == "sdxl_refiner"
+    assert pipe.cfgs.unet.block_out_channels == u.block_out_channels
+    assert pipe.cfgs.vae.scaling_factor == pytest.approx(v.scaling_factor)
+
+    init = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    out = pipe.generate(prompt="a dog", init_image=init, strength=0.5,
+                        num_inference_steps=2, height=32, width=32, seed=1,
+                        output_type="np")
+    assert out.shape == (1, 32, 32, 3)
+
+    # identical to the directly-constructed pipeline (same params)
+    direct = HarmonyPipeline(
+        params, cfgs,
+        tok_lib.SDXLTokenizers(
+            tok_lib.CLIPTokenizer.from_pretrained_dir(str(tok_dir), pad_token="!"),
+            tok_lib.CLIPTokenizer.from_pretrained_dir(str(tok_dir), pad_token="!"),
+        ),
+    )
+    np.testing.assert_array_equal(
+        out,
+        direct.generate(prompt="a dog", init_image=init, strength=0.5,
+                        num_inference_steps=2, height=32, width=32, seed=1,
+                        output_type="np"),
+    )
+
+    # adapter checkpoints don't apply to the refiner
+    with pytest.raises(ValueError, match="refiner"):
+        checkpoints.load_pipeline(model_dir=str(root), adapter_ckpt="x.bin")

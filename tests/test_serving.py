@@ -220,3 +220,19 @@ def test_edit_schedule_shape_payload(server):
     k_kr = serving._Request({**base, "use_karras_sigmas": True}).batch_key()
     k_gr = serving._Request({**base, "guidance_rescale": 0.7}).batch_key()
     assert len({k_plain, k_sp, k_kr, k_gr}) == 4
+
+
+def test_edit_text_to_image_payload(server):
+    """A request without an image runs plain text-to-image (IP branch
+    off); image and no-image requests never share a batch."""
+    out = _post(server, {"prompt": "a dog", "steps": 2, "height": 32,
+                         "width": 32, "seed": 9})
+    assert "image" in out
+    from PIL import Image
+    png = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+    assert png.size == (32, 32)
+
+    k_t2i = serving._Request({"prompt": "a dog", "steps": 2}).batch_key()
+    k_img = serving._Request({"prompt": "a dog", "steps": 2,
+                              "image": "abcd"}).batch_key()
+    assert k_t2i != k_img
