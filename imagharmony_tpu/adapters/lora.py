@@ -186,10 +186,16 @@ def save_lora(path, lora_tree, cfg: LoRAConfig):
 
 
 def load_lora(path):
-    """-> (lora_tree, LoRAConfig) from a save_lora file."""
+    """-> (lora_tree, LoRAConfig) from a save_lora file, OR from a
+    community-format UNet LoRA (kohya ``lora_unet_*`` / diffusers-peft
+    ``unet.*.lora_A``) — the ecosystem files trained by sd-scripts and
+    shared on model hubs. Detected by key shape; see
+    ``load_community_lora`` for coverage and skipping rules."""
     from imagharmony_tpu.io import safetensors_io
 
     tensors, meta = safetensors_io.load(path)
+    if meta.get("format") != "imagharmony-lora" and _looks_community(tensors):
+        return load_community_lora(tensors)
     cfg = LoRAConfig(
         rank=int(meta.get("rank", 8)),
         alpha=float(meta["alpha"]) if "alpha" in meta else None,
@@ -197,6 +203,119 @@ def load_lora(path):
         attn=tuple((meta.get("attn") or ",".join(_ATTN_KEYS)).split(",")),
     )
     return unflatten(tensors), cfg
+
+
+# ---------------------------------------------------------------------------
+# Community-format ingestion (kohya sd-scripts / diffusers-peft UNet LoRAs)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_KOHYA_BLOCK = _re.compile(
+    r"^(down_blocks|up_blocks)_(\d+)_attentions_(\d+)_transformer_blocks_"
+    r"(\d+)_(attn[12])_(to_q|to_k|to_v|to_out_0)$"
+)
+_KOHYA_MID = _re.compile(
+    r"^mid_block_attentions_(\d+)_transformer_blocks_(\d+)_(attn[12])_"
+    r"(to_q|to_k|to_v|to_out_0)$"
+)
+_PEFT_PATH = _re.compile(
+    r"^(?:down_blocks|up_blocks)\.\d+\.attentions\.\d+\.transformer_blocks\."
+    r"\d+\.attn[12]\.(?:to_q|to_k|to_v|to_out)$"
+)
+_PEFT_MID = _re.compile(
+    r"^mid_block\.attentions\.\d+\.transformer_blocks\.\d+\.attn[12]\."
+    r"(?:to_q|to_k|to_v|to_out)$"
+)
+
+
+def _looks_community(tensors) -> bool:
+    return any(
+        k.startswith(("lora_unet_", "lora_te", "unet.", "text_encoder"))
+        for k in tensors
+    )
+
+
+def _community_module_path(name):
+    """Community module name -> our dotted weight path, or None if the
+    module is outside the attention-projection surface we adapt."""
+    if name.startswith("lora_unet_"):
+        body = name[len("lora_unet_"):]
+        m = _KOHYA_BLOCK.match(body)
+        if m:
+            bk, bi, ai, ti, attn, proj = m.groups()
+            proj = "to_out" if proj == "to_out_0" else proj
+            return (f"{bk}.{bi}.attentions.{ai}.transformer_blocks.{ti}."
+                    f"{attn}.{proj}.weight")
+        m = _KOHYA_MID.match(body)
+        if m:
+            ai, ti, attn, proj = m.groups()
+            proj = "to_out" if proj == "to_out_0" else proj
+            return (f"mid_block.attentions.{ai}.transformer_blocks.{ti}."
+                    f"{attn}.{proj}.weight")
+        return None
+    if name.startswith("unet."):
+        body = name[len("unet."):].replace(".to_out.0", ".to_out")
+        if _PEFT_PATH.match(body) or _PEFT_MID.match(body):
+            return body + ".weight"
+    return None
+
+
+def load_community_lora(tensors):
+    """Kohya (``lora_unet_*.lora_down/lora_up.weight`` + per-module
+    ``.alpha``) or diffusers-peft (``unet.*.lora_A/lora_B.weight``) UNet
+    LoRA -> (our factor tree, LoRAConfig).
+
+    Per-module alpha/rank are folded into lora_b (the returned config's
+    scale is exactly 1), so heterogeneous-rank files load correctly.
+    Modules outside the UNet attention projections — text-encoder parts
+    (``lora_te*``), feed-forward/conv LoRA — are SKIPPED with a loud
+    warning: merging a partial adapter changes outputs vs a stack that
+    applies all of it. Raises if nothing at all maps."""
+    mods: dict = {}
+    skipped = set()
+    for k, v in tensors.items():
+        for suf, slot in (
+            (".lora_down.weight", "down"), (".lora_up.weight", "up"),
+            (".alpha", "alpha"),
+            (".lora_A.weight", "down"), (".lora_B.weight", "up"),
+        ):
+            if k.endswith(suf):
+                mods.setdefault(k[: -len(suf)], {})[slot] = v
+                break
+        else:
+            skipped.add(k)
+
+    flat = {}
+    for name, parts in sorted(mods.items()):
+        path = _community_module_path(name)
+        if path is None or "down" not in parts or "up" not in parts:
+            skipped.add(name)
+            continue
+        down = np.asarray(parts["down"], np.float32)  # (r, in)
+        up = np.asarray(parts["up"], np.float32)      # (out, r)
+        r = down.shape[0]
+        alpha = float(np.asarray(parts.get("alpha", r)).reshape(())[()])
+        # torch W' = W + (alpha/r) * up @ down; ours is (in, out):
+        # delta = down.T @ (up.T * alpha/r)
+        flat[path + ".lora_a"] = down.T
+        flat[path + ".lora_b"] = up.T * (alpha / r)
+    if not flat:
+        raise ValueError(
+            "no UNet attention-projection LoRA modules found "
+            f"(first skipped: {sorted(skipped)[:5]})"
+        )
+    if skipped:
+        import logging
+
+        logging.getLogger("imagharmony.lora").warning(
+            "community LoRA: %d module(s)/key(s) outside the UNet "
+            "attention-projection surface were SKIPPED (e.g. %s) — outputs "
+            "will differ from stacks that apply the full adapter",
+            len(skipped), sorted(skipped)[:3],
+        )
+    # per-module scaling already folded into lora_b -> scale must be 1
+    return unflatten(flat), LoRAConfig(rank=1, alpha=1.0)
 
 
 def num_params(lora_tree) -> int:

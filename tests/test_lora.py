@@ -241,3 +241,108 @@ def test_parse_spec(tmp_path):
     p = os.path.join(tmp_path, "w:2.safetensors")
     open(p, "wb").close()
     assert lora_lib.parse_spec(p, 1.0) == (p, 1.0)
+
+
+def test_load_community_lora_kohya_and_peft(tmp_path):
+    """Ecosystem UNet LoRA files load through with_lora: kohya
+    (lora_unet_*.lora_down/up + per-module alpha) and diffusers-peft
+    (unet.*.lora_A/B) names map onto our factor tree; per-module
+    alpha/rank fold into lora_b; non-attention modules skip loudly."""
+    from imagharmony_tpu.io import safetensors_io
+
+    pipe = HarmonyPipeline.random_tiny(seed=0)
+    unet = pipe.params["unet"]
+    w_q = np.asarray(
+        unet["down_blocks"][2]["attentions"][1]["transformer_blocks"][0][
+            "attn2"]["to_q"]["weight"]
+    )
+    w_mid = np.asarray(
+        unet["mid_block"]["attentions"][0]["transformer_blocks"][0][
+            "attn1"]["to_out"]["weight"]
+    )
+    rng = np.random.default_rng(0)
+    r = 4
+    down_q = rng.standard_normal((r, w_q.shape[0])).astype(np.float32)
+    up_q = rng.standard_normal((w_q.shape[1], r)).astype(np.float32)
+    down_m = rng.standard_normal((2, w_mid.shape[0])).astype(np.float32)  # rank 2
+    up_m = rng.standard_normal((w_mid.shape[1], 2)).astype(np.float32)
+    kohya = {
+        "lora_unet_down_blocks_2_attentions_1_transformer_blocks_0_attn2_to_q"
+        ".lora_down.weight": down_q,
+        "lora_unet_down_blocks_2_attentions_1_transformer_blocks_0_attn2_to_q"
+        ".lora_up.weight": up_q,
+        "lora_unet_down_blocks_2_attentions_1_transformer_blocks_0_attn2_to_q"
+        ".alpha": np.asarray(2.0, np.float32),
+        "lora_unet_mid_block_attentions_0_transformer_blocks_0_attn1_to_out_0"
+        ".lora_down.weight": down_m,
+        "lora_unet_mid_block_attentions_0_transformer_blocks_0_attn1_to_out_0"
+        ".lora_up.weight": up_m,
+        # outside our surface: text encoder + a ff module -> skipped loudly
+        "lora_te1_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_down.weight": down_q,
+        "lora_te1_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_up.weight": up_q,
+        "lora_unet_down_blocks_2_attentions_1_transformer_blocks_0_ff_net_0_proj"
+        ".lora_down.weight": down_q,
+        "lora_unet_down_blocks_2_attentions_1_transformer_blocks_0_ff_net_0_proj"
+        ".lora_up.weight": up_q,
+    }
+    path = os.path.join(tmp_path, "kohya.safetensors")
+    safetensors_io.save(path, kohya)
+
+    tree, cfg = lora_lib.load_lora(path)
+    assert cfg.scale == 1.0
+    merged = lora_lib.apply_lora(pipe.params["unet"], tree, cfg)
+    got_q = np.asarray(
+        merged["down_blocks"][2]["attentions"][1]["transformer_blocks"][0][
+            "attn2"]["to_q"]["weight"]
+    )
+    # torch semantics: W' = W + (alpha/r) * up @ down, ours transposed
+    want_q = w_q + (2.0 / r) * (up_q @ down_q).T
+    np.testing.assert_allclose(got_q, want_q, rtol=1e-5, atol=1e-5)
+    got_m = np.asarray(
+        merged["mid_block"]["attentions"][0]["transformer_blocks"][0][
+            "attn1"]["to_out"]["weight"]
+    )
+    want_m = w_mid + (2.0 / 2.0) * (up_m @ down_m).T  # alpha defaults to r
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-5, atol=1e-5)
+
+    # the full pipeline path accepts the file
+    out = pipe.with_lora(path).generate(
+        pil_image=np.zeros((32, 32, 3), np.uint8), prompt="a dog",
+        num_inference_steps=2, height=32, width=32, seed=1)
+    base = pipe.generate(
+        pil_image=np.zeros((32, 32, 3), np.uint8), prompt="a dog",
+        num_inference_steps=2, height=32, width=32, seed=1)
+    assert np.abs(out.astype(int) - base.astype(int)).max() > 0
+
+    # peft naming maps to the identical tree (alpha = rank -> scale 1)
+    peft = {
+        "unet.down_blocks.2.attentions.1.transformer_blocks.0.attn2.to_q"
+        ".lora_A.weight": down_q,
+        "unet.down_blocks.2.attentions.1.transformer_blocks.0.attn2.to_q"
+        ".lora_B.weight": up_q,
+        "unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_out.0"
+        ".lora_A.weight": down_m,
+        "unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_out.0"
+        ".lora_B.weight": up_m,
+    }
+    tree2, cfg2 = lora_lib.load_community_lora(peft)
+    merged2 = lora_lib.apply_lora(pipe.params["unet"], tree2, cfg2)
+    got2 = np.asarray(
+        merged2["down_blocks"][2]["attentions"][1]["transformer_blocks"][0][
+            "attn2"]["to_q"]["weight"]
+    )
+    np.testing.assert_allclose(
+        got2, w_q + (up_q @ down_q).T, rtol=1e-5, atol=1e-5
+    )
+
+    # nothing mappable -> loud error
+    import pytest
+    with pytest.raises(ValueError, match="no UNet attention"):
+        lora_lib.load_community_lora({
+            "lora_te1_text_model_encoder_layers_0_self_attn_q_proj"
+            ".lora_down.weight": down_q,
+            "lora_te1_text_model_encoder_layers_0_self_attn_q_proj"
+            ".lora_up.weight": up_q,
+        })
