@@ -1127,6 +1127,7 @@ class HarmonyPipeline:
                 encoder_interval=encoder_interval,
                 prediction_type=prediction_type,
                 rescale_zero_snr=rescale_zero_snr,
+                clip_skip=clip_skip,
                 original_size=tuple(original_size) if original_size else None,
                 crops_coords_top_left=tuple(crops_coords_top_left),
                 target_size=tuple(target_size) if target_size else None,
