@@ -846,9 +846,27 @@ class HarmonyPipeline:
         import numpy as np
 
         if isinstance(source, (str, bytes)):
-            from imagharmony_tpu.io import safetensors_io
+            name = source.decode() if isinstance(source, bytes) else source
+            if name.endswith((".pt", ".bin")):
+                # A1111-style torch embedding: {"string_to_param": {"*": t}}
+                # (+ optional "name"), or a bare {token: tensor} torch dict
+                from imagharmony_tpu.io import torch_pickle
 
-            tensors, _meta = safetensors_io.load(source)
+                obj = torch_pickle.load(name)
+                if isinstance(obj, dict) and "string_to_param" in obj:
+                    vec = next(iter(obj["string_to_param"].values()))
+                    if token is None and isinstance(obj.get("name"), str):
+                        token = obj["name"]
+                    tensors = {token or "<concept>": np.asarray(vec)}
+                else:
+                    tensors = {
+                        k: np.asarray(v) for k, v in obj.items()
+                        if hasattr(v, "shape")
+                    }
+            else:
+                from imagharmony_tpu.io import safetensors_io
+
+                tensors, _meta = safetensors_io.load(source)
         else:
             tensors = dict(source)
 

@@ -129,3 +129,30 @@ def test_with_textual_inversion_sd15():
     a = ti.generate(prompt="a <thing> dog", **kw)
     b = ti.generate(prompt="a dog", **kw)
     assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
+def test_with_textual_inversion_a1111_pt(tmp_path):
+    """A1111 ``.pt`` embeddings ({"string_to_param": {"*": tensor}},
+    "name") load through the torch-pickle reader; the file's own name
+    becomes the placeholder unless overridden."""
+    import torch
+
+    pipe = HarmonyPipeline.random_tiny_sd15(seed=0)
+    d = pipe.cfgs.text_l.hidden_size
+    vec = np.random.default_rng(5).standard_normal((2, d)).astype(np.float32)
+    path = str(tmp_path / "emb.pt")
+    torch.save(
+        {"string_to_param": {"*": torch.tensor(vec)}, "name": "<thing>"},
+        path,
+    )
+    ti = pipe.with_textual_inversion(path)
+    v0 = pipe.cfgs.text_l.vocab_size
+    assert ti.tokenizers.tok1.encode("<thing>", pad_to_max=False)[1:3] == [v0, v0 + 1]
+    table = np.asarray(
+        ti.params["text_encoder"]["embeddings"]["token_embedding"]["weight"]
+    )
+    np.testing.assert_allclose(table[v0:], vec, rtol=1e-6)
+    img = np.random.default_rng(0).integers(0, 255, (40, 40, 3), np.uint8)
+    out = ti.generate(pil_image=img, prompt="a <thing>", num_inference_steps=2,
+                      height=32, width=32, seed=1, output_type="np")
+    assert out.shape == (1, 32, 32, 3)
